@@ -1,0 +1,204 @@
+"""Configuration tree for experiments.
+
+Reference parity: percivaltts's ``configuration`` object populated by
+``percivaltts/run.py`` (SURVEY.md §2 "Core utils + config", §5 "Config/flag
+system"). The reference uses an edit-the-python-file config plus a
+``clone.sh`` code-snapshot workflow; here the equivalent reproducibility
+property is a frozen dataclass tree that serializes itself to JSON into the
+experiment work dir (``Configuration.dump``), plus a small CLI
+(``percivaltts_tpu.cli``) with compose / train / generate subcommands.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class VocoderConfig:
+    """Vocoder feature schema (reference: percivaltts/vocoders.py).
+
+    The demo PML schema in the reference is f0 (1) + frequency-warped log
+    spectral envelope (``spec_size``) + frequency-warped noise mask
+    (``nm_size``) at 16 kHz.
+    """
+
+    kind: str = "pml"  # "pml" | "world" | "melspec"
+    fs: int = 16000
+    shift_ms: float = 5.0  # frame shift
+    frame_ms: float = 25.0  # analysis window length (multiple of shift)
+    dftlen: int = 1024  # analysis FFT length
+    spec_size: int = 65  # warped log-spectral-envelope dim
+    nm_size: int = 33  # warped noise-mask / aperiodicity dim
+    f0_min: float = 60.0
+    f0_max: float = 400.0
+    # mel-spectrogram variant (BASELINE config 4)
+    mel_size: int = 80
+
+    @property
+    def shift_samples(self) -> int:
+        return int(round(self.fs * self.shift_ms / 1000.0))
+
+    @property
+    def frame_samples(self) -> int:
+        return int(round(self.fs * self.frame_ms / 1000.0))
+
+    @property
+    def feature_size(self) -> int:
+        """Total per-frame output ("cmp") dimension for this vocoder."""
+        if self.kind == "pml":
+            return 1 + self.spec_size + self.nm_size
+        if self.kind == "world":
+            return 1 + 1 + self.spec_size + self.nm_size  # f0, vuv, spec, bap
+        if self.kind == "melspec":
+            return self.mel_size
+        raise ValueError(f"unknown vocoder kind: {self.kind}")
+
+    @property
+    def streams(self) -> Dict[str, Tuple[int, int]]:
+        """Name → (start, end) slices of the composed feature vector."""
+        if self.kind == "pml":
+            return {
+                "f0": (0, 1),
+                "spec": (1, 1 + self.spec_size),
+                "nm": (1 + self.spec_size, 1 + self.spec_size + self.nm_size),
+            }
+        if self.kind == "world":
+            s = self.spec_size
+            return {
+                "f0": (0, 1),
+                "vuv": (1, 2),
+                "spec": (2, 2 + s),
+                "bap": (2 + s, 2 + s + self.nm_size),
+            }
+        if self.kind == "melspec":
+            return {"mel": (0, self.mel_size)}
+        raise ValueError(f"unknown vocoder kind: {self.kind}")
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Corpus layout + batching (reference: percivaltts/data.py, compose.py)."""
+
+    corpus_dir: str = ""
+    fileids: str = ""  # path to file-id list (one utterance id per line)
+    label_dir: str = "label_state_align"
+    wav_dir: str = "wav"
+    question_file: str = ""
+    # train/valid/test split by position in the file-id list, as in the
+    # reference's list-slicing convention.
+    num_valid: int = 5
+    num_test: int = 5
+    # Batching: static-shape buckets (frames per sequence). Sequences are
+    # bucketed to the smallest bound >= their length and padded; masks are
+    # threaded through every loss/metric. This replaces the reference's
+    # pad-to-batch-max dynamic shapes, which would force XLA recompilation.
+    batch_size: int = 32
+    bucket_bounds: Tuple[int, ...] = (256, 512, 768, 1024)
+    # crop long utterances to this many frames during training (0 = off)
+    max_frames: int = 1024
+    label_dim: int = 425  # question-set binarization output dim (demo value)
+    shuffle_seed: int = 42
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Generator/critic zoo (reference: models_basic.py / models_cnn.py /
+    critic per SURVEY.md §2)."""
+
+    generator: str = "cnn"  # "fc" | "blstm" | "cnn" | "cnn_blstm"
+    hidden_size: int = 256
+    num_layers: int = 3
+    # CNN generator
+    cnn_channels: int = 32
+    cnn_kernel_freq: int = 5
+    cnn_kernel_time: int = 5
+    cnn_blocks: int = 4
+    # BLSTM generator
+    blstm_size: int = 256
+    blstm_layers: int = 2
+    # critic
+    critic_channels: int = 32
+    critic_blocks: int = 4
+    critic_hidden: int = 256
+    # numerics: bf16 compute with f32 master weights/optimizer state
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Trainer hyperparameters (reference: optimizertts.py /
+    optimizertts_wgan.py per SURVEY.md §2)."""
+
+    trainer: str = "wgan"  # "lse" | "wgan"
+    epochs: int = 100
+    steps_per_epoch: int = 0  # 0 = one pass over train set
+    lr_gen: float = 1e-4
+    lr_critic: float = 1e-4
+    adam_b1: float = 0.5  # WGAN-GP betas
+    adam_b2: float = 0.9
+    # WGAN-GP
+    n_critic: int = 5
+    gp_lambda: float = 10.0
+    lse_weight: float = 0.25  # LSE mixing weight in the generator loss
+    # early stopping
+    patience: int = 20
+    # checkpointing
+    checkpoint_every: int = 1  # epochs
+    keep_checkpoints: int = 3
+    # parallelism: data-axis size 0 = all local devices
+    data_parallel: int = 0
+    seed: int = 123
+    debug_nans: bool = False
+
+
+@dataclass(frozen=True)
+class Configuration:
+    """Root experiment configuration (reference: run.py's ``configuration``)."""
+
+    workdir: str = "exp/default"
+    data: DataConfig = field(default_factory=DataConfig)
+    vocoder: VocoderConfig = field(default_factory=VocoderConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    # ---- serialization (replaces the reference's clone.sh snapshotting) ----
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def dump(self, path: Optional[str] = None) -> str:
+        path = path or os.path.join(self.workdir, "config.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, sort_keys=True)
+        return path
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Configuration":
+        def _sub(klass, key):
+            sub = dict(d.get(key, {}))
+            if key == "data" and "bucket_bounds" in sub:
+                sub["bucket_bounds"] = tuple(sub["bucket_bounds"])
+            return klass(**sub)
+
+        return cls(
+            workdir=d.get("workdir", "exp/default"),
+            data=_sub(DataConfig, "data"),
+            vocoder=_sub(VocoderConfig, "vocoder"),
+            model=_sub(ModelConfig, "model"),
+            train=_sub(TrainConfig, "train"),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "Configuration":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    def replace(self, **kw) -> "Configuration":
+        return dataclasses.replace(self, **kw)

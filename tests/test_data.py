@@ -1,0 +1,100 @@
+import numpy as np
+import pytest
+
+from percivaltts_tpu.data.dataset import Dataset, cost_0pred_rmse, split_fileids
+from percivaltts_tpu.data.normalize import NormStats, compute_meanstd, compute_minmax
+
+
+def _toy_corpus(n=20, ldim=7, cdim=5, seed=0):
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(50, 400, size=n)
+    labs = [rng.normal(size=(L, ldim)).astype(np.float32) for L in lens]
+    cmps = [rng.normal(2.0, 3.0, size=(L, cdim)).astype(np.float32) for L in lens]
+    return Dataset(labs=labs, cmps=cmps)
+
+
+def test_split_fileids():
+    ids = [f"u{i}" for i in range(10)]
+    tr, va, te = split_fileids(ids, 2, 3)
+    assert tr == ids[:5] and va == ids[5:7] and te == ids[7:]
+    with pytest.raises(ValueError):
+        split_fileids(ids, 5, 5)
+
+
+def test_meanstd_roundtrip(tmp_path):
+    ds = _toy_corpus()
+    stats = compute_meanstd(ds.cmps)
+    allc = np.concatenate(ds.cmps, axis=0)
+    normed = stats.normalize(allc)
+    np.testing.assert_allclose(normed.mean(axis=0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(normed.std(axis=0), 1.0, atol=1e-3)
+    back = stats.denormalize(normed)
+    np.testing.assert_allclose(back, allc, rtol=1e-4, atol=1e-4)
+    p = str(tmp_path / "stats.npz")
+    stats.save(p)
+    stats2 = NormStats.load(p)
+    np.testing.assert_allclose(stats2.shift, stats.shift)
+    np.testing.assert_allclose(stats2.scale, stats.scale)
+
+
+def test_meanstd_keep_streams():
+    ds = _toy_corpus(cdim=6)
+    stats = compute_meanstd(ds.cmps, keep_streams=[(4, 6)])
+    assert np.all(stats.shift[4:6] == 0.0) and np.all(stats.scale[4:6] == 1.0)
+    assert not np.all(stats.scale[:4] == 1.0)
+
+
+def test_minmax_range():
+    ds = _toy_corpus()
+    stats = compute_minmax(ds.labs, out_range=(0.01, 0.99))
+    allx = np.concatenate(ds.labs, axis=0)
+    normed = stats.normalize(allx)
+    np.testing.assert_allclose(normed.min(axis=0), 0.01, atol=1e-4)
+    np.testing.assert_allclose(normed.max(axis=0), 0.99, atol=1e-4)
+
+
+def test_batches_static_shapes():
+    ds = _toy_corpus(n=30)
+    shapes = set()
+    total = 0
+    for batch in ds.batches(batch_size=4, bucket_bounds=(128, 256, 512), seed=1):
+        assert batch["lab"].shape[0] == 4
+        assert batch["lab"].shape[1] in (128, 256, 512)
+        assert batch["mask"].shape == batch["lab"].shape[:2]
+        # mask matches lengths
+        np.testing.assert_array_equal(
+            batch["mask"].sum(axis=1).astype(np.int32), batch["lengths"]
+        )
+        # padded region is zero
+        for j in range(4):
+            n = batch["lengths"][j]
+            assert np.all(batch["cmp"][j, n:] == 0.0)
+        shapes.add(batch["lab"].shape)
+        total += 1
+    assert total >= 1
+    assert len(shapes) <= 3
+
+
+def test_batches_crop_long():
+    rng = np.random.default_rng(0)
+    labs = [rng.normal(size=(900, 3)).astype(np.float32) for _ in range(4)]
+    cmps = [rng.normal(size=(900, 2)).astype(np.float32) for _ in range(4)]
+    ds = Dataset(labs=labs, cmps=cmps)
+    batches = list(ds.batches(batch_size=4, bucket_bounds=(256,), seed=0))
+    assert len(batches) == 1
+    assert batches[0]["lab"].shape == (4, 256, 3)
+    assert np.all(batches[0]["lengths"] == 256)
+
+
+def test_cost_0pred():
+    ds = _toy_corpus()
+    c = cost_0pred_rmse(ds.cmps)
+    allc = np.concatenate(ds.cmps)
+    assert c == pytest.approx(float(np.sqrt(np.mean(allc**2))), rel=1e-6)
+
+
+def test_epoch_reshuffles():
+    ds = _toy_corpus(n=16)
+    b0 = list(ds.batches(4, (512,), seed=7, epoch=0))
+    b1 = list(ds.batches(4, (512,), seed=7, epoch=1))
+    assert not np.allclose(b0[0]["lab"], b1[0]["lab"])
