@@ -1,0 +1,50 @@
+"""Model-level utilities.
+
+Reference parity: percivaltts's ``ModelTTS`` base wrapper (SURVEY.md §2
+"Model base" — parameter counting, weight save/load, utterance-level
+prediction). Save/load lives with the Orbax checkpoint layer
+(``percivaltts_tpu.training.checkpoints``); here are the pure helpers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Utterance lengths are padded up to a multiple of this for prediction so the
+# critic/generator conv stacks (time strides up to 4) and TPU lane tiling see
+# friendly shapes, and so the number of jit variants stays bounded.
+TIME_MULTIPLE = 64
+
+
+def count_params(params: Any) -> int:
+    return int(sum(np.prod(p.shape) for p in jax.tree.leaves(params)))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _apply_padded(apply_fn: Callable, params: Any, lab: jax.Array) -> jax.Array:
+    return apply_fn(params, lab)
+
+
+def predict_utterance(
+    apply_fn: Callable,
+    params: Any,
+    lab: np.ndarray,
+    time_multiple: int = TIME_MULTIPLE,
+) -> np.ndarray:
+    """Run one utterance ``(frames, label_dim)`` through a generator.
+
+    Pads frames up to the next multiple of ``time_multiple`` (bounded jit
+    variants — the reference predicts each utterance at its exact length,
+    which on XLA would compile once per distinct length), then crops back.
+    """
+    n = lab.shape[0]
+    padded = -(-n // time_multiple) * time_multiple
+    x = np.zeros((1, padded, lab.shape[1]), dtype=np.float32)
+    x[0, :n] = lab
+    y = _apply_padded(apply_fn, params, jnp.asarray(x))
+    return np.asarray(y[0, :n])

@@ -1,0 +1,120 @@
+"""Conditional Wasserstein critic.
+
+Reference parity: percivaltts's convolutional critic (SURVEY.md §2 "Critic"
+— reference location ``models_critic.py`` or inside the WGAN optimizer
+module): a 2D conv stack over the spectral feature map, a dense path for the
+f0/noise-mask streams, conditioning on the input labels, merged to one scalar
+score per sequence. Per WGAN-GP practice there is **no batch norm** — layer
+norm only — since the gradient penalty is computed per-sample.
+
+TPU-first notes: strided 2D convs over the static (T, freq) image keep the
+critic MXU-bound; the label conditioning path is a frame-wise dense stack
+(batched matmul); masked mean-pooling (not flatten) makes the score
+length-aware without dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from percivaltts_tpu.config import ModelConfig, VocoderConfig
+
+
+def _dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+class Critic(nn.Module):
+    """score = Critic(cmp features, conditioning labels, mask) ∈ R per sample."""
+
+    vocoder: VocoderConfig
+    channels: int = 32
+    blocks: int = 4
+    hidden: int = 256
+    kernel: Tuple[int, int] = (5, 5)
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, cmp: jax.Array, lab: jax.Array, mask: jax.Array) -> jax.Array:
+        dt = _dtype(self.compute_dtype)
+        pdt = _dtype(self.param_dtype)
+        streams = self.vocoder.streams
+        cmp = cmp.astype(dt)
+        mask = mask.astype(dt)  # (B, T)
+
+        # ---- spectral stream: 2D conv stack over the (T, freq) image ----
+        spec_key = "spec" if "spec" in streams else "mel"
+        a, b = streams[spec_key]
+        img = cmp[..., a:b][..., None]  # (B, T, F, 1)
+        img = img * mask[:, :, None, None]
+        x = nn.Conv(self.channels, self.kernel, dtype=dt, param_dtype=pdt, name="spec_in")(img)
+        t_stride = 1
+        for i in range(self.blocks):
+            x = nn.gelu(x)
+            # stride over time every other block to grow the receptive field
+            stride = (2, 2) if i % 2 == 0 else (1, 1)
+            t_stride *= stride[0]
+            x = nn.Conv(
+                self.channels * min(2 ** (i // 2 + 1), 8),
+                self.kernel,
+                strides=stride,
+                dtype=dt,
+                param_dtype=pdt,
+                name=f"spec_conv{i}",
+            )(x)
+            x = nn.LayerNorm(dtype=dt, param_dtype=pdt, name=f"spec_ln{i}")(x)
+        # pool frequency, keep (B, T', C)
+        x = x.mean(axis=2)
+
+        # ---- scalar streams (f0 / vuv / nm / bap): frame-wise dense path ----
+        rest = [cmp[..., s:e] for name, (s, e) in streams.items() if name != spec_key]
+        h_parts = [x.reshape(x.shape[0], -1, x.shape[-1])]
+        if rest:
+            r = jnp.concatenate(rest, axis=-1) * mask[:, :, None]
+            r = nn.Dense(self.hidden // 2, dtype=dt, param_dtype=pdt, name="rest_d0")(r)
+            r = nn.gelu(r)
+            r = nn.Dense(self.hidden // 2, dtype=dt, param_dtype=pdt, name="rest_d1")(r)
+            # downsample time to match the conv path
+            B, T = mask.shape
+            Tp = x.shape[1]
+            r = r[:, : Tp * t_stride]
+            r = r.reshape(B, Tp, t_stride, -1).mean(axis=2)
+            h_parts.append(r)
+
+        # ---- conditioning on the input labels (conditional critic) ----
+        l = lab.astype(dt) * mask[:, :, None]
+        l = nn.Dense(self.hidden // 2, dtype=dt, param_dtype=pdt, name="cond_d0")(l)
+        l = nn.gelu(l)
+        B, T = mask.shape
+        Tp = x.shape[1]
+        l = l[:, : Tp * t_stride].reshape(B, Tp, t_stride, -1).mean(axis=2)
+        h_parts.append(l)
+
+        h = jnp.concatenate(h_parts, axis=-1)
+        h = nn.Dense(self.hidden, dtype=dt, param_dtype=pdt, name="merge_d0")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.hidden, dtype=dt, param_dtype=pdt, name="merge_d1")(h)
+        h = nn.gelu(h)
+        score_t = nn.Dense(1, dtype=dt, param_dtype=pdt, name="score")(h)[..., 0]  # (B, T')
+
+        # masked mean over time at the downsampled rate
+        m = mask[:, : Tp * t_stride].reshape(B, Tp, t_stride).max(axis=2)
+        denom = jnp.maximum(m.sum(axis=1), 1.0)
+        score = (score_t * m).sum(axis=1) / denom
+        return score.astype(jnp.float32)
+
+
+def build_critic(model_cfg: ModelConfig, vocoder: VocoderConfig) -> Critic:
+    return Critic(
+        vocoder=vocoder,
+        channels=model_cfg.critic_channels,
+        blocks=model_cfg.critic_blocks,
+        hidden=model_cfg.critic_hidden,
+        compute_dtype=model_cfg.compute_dtype,
+        param_dtype=model_cfg.param_dtype,
+    )

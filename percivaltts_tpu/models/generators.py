@@ -1,0 +1,208 @@
+"""Generator zoo: FC, BLSTM, CNN (and CNN+BLSTM) acoustic models.
+
+Reference parity: percivaltts's Keras model builders
+(``percivaltts/models_basic.py`` — FC and recurrent generators — and
+``percivaltts/models_cnn.py`` — the signature CNN generator that renders the
+spectral stream as a 2D frames×frequency image; SURVEY.md §2 "Generator"
+rows). All map ``(batch, frames, label_dim) → (batch, frames, feat_dim)``.
+
+TPU-first design notes:
+* Frame-wise dense layers are ``(B*T, D) @ (D, H)`` matmuls — large, batched,
+  MXU-shaped. Hidden sizes default to multiples of 128.
+* The BLSTM runs as a ``lax.scan`` over time via flax's RNN wrapper —
+  compiled once per bucket length; no Python-level time loops.
+* The CNN generator's 2D convs run over a static (T, freq) image so XLA can
+  tile them onto the MXU; bf16 compute with f32 params.
+* No data-dependent shapes anywhere: padding is handled by the caller's
+  masks, not by dynamic slicing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from percivaltts_tpu.config import ModelConfig, VocoderConfig
+
+
+def _dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+class FCGenerator(nn.Module):
+    """Frame-wise MLP generator (reference: the FC/DNN builder in
+    models_basic.py)."""
+
+    feat_dim: int
+    hidden_size: int = 256
+    num_layers: int = 3
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, lab: jax.Array, train: bool = False) -> jax.Array:
+        dt = _dtype(self.compute_dtype)
+        x = lab.astype(dt)
+        for i in range(self.num_layers):
+            x = nn.Dense(self.hidden_size, dtype=dt, param_dtype=_dtype(self.param_dtype), name=f"dense_{i}")(x)
+            x = nn.tanh(x)
+        x = nn.Dense(self.feat_dim, dtype=dt, param_dtype=_dtype(self.param_dtype), name="out")(x)
+        return x.astype(jnp.float32)
+
+
+class BLSTMGenerator(nn.Module):
+    """Bidirectional-LSTM generator (reference: the BLSTM/BGRU builder in
+    models_basic.py). Dense front-end, stacked BLSTM, linear readout.
+
+    The recurrence is a ``lax.scan`` (flax nn.RNN) — linear in sequence
+    length, compiled once per bucket bound.
+    """
+
+    feat_dim: int
+    hidden_size: int = 256
+    num_layers: int = 2
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, lab: jax.Array, train: bool = False) -> jax.Array:
+        dt = _dtype(self.compute_dtype)
+        pdt = _dtype(self.param_dtype)
+        x = lab.astype(dt)
+        x = nn.Dense(self.hidden_size, dtype=dt, param_dtype=pdt, name="frontend")(x)
+        x = nn.tanh(x)
+        for i in range(self.num_layers):
+            fwd = nn.RNN(
+                nn.OptimizedLSTMCell(self.hidden_size // 2, dtype=dt, param_dtype=pdt),
+                name=f"lstm_fwd_{i}",
+            )
+            bwd = nn.RNN(
+                nn.OptimizedLSTMCell(self.hidden_size // 2, dtype=dt, param_dtype=pdt),
+                reverse=True,
+                keep_order=True,
+                name=f"lstm_bwd_{i}",
+            )
+            x = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
+        x = nn.Dense(self.feat_dim, dtype=dt, param_dtype=pdt, name="out")(x)
+        return x.astype(jnp.float32)
+
+
+class CNNGenerator(nn.Module):
+    """Percival's signature CNN generator (reference: models_cnn.py).
+
+    A dense trunk maps label frames to a hidden sequence; the spectral
+    stream is then *rendered as an image*: the trunk projects to an initial
+    (T, spec_size, C) feature map refined by a stack of 2D convolutions, so
+    nearby frames and frequency bands are generated coherently. The f0 and
+    noise-mask streams use small dense heads (optionally a BLSTM head when
+    ``use_blstm_heads`` — the reference's full default, BASELINE config 3).
+    """
+
+    vocoder: VocoderConfig
+    hidden_size: int = 256
+    trunk_layers: int = 2
+    channels: int = 32
+    blocks: int = 4
+    kernel: Tuple[int, int] = (5, 5)
+    use_blstm_heads: bool = False
+    blstm_size: int = 128
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, lab: jax.Array, train: bool = False) -> jax.Array:
+        dt = _dtype(self.compute_dtype)
+        pdt = _dtype(self.param_dtype)
+        streams = self.vocoder.streams
+        x = lab.astype(dt)
+        for i in range(self.trunk_layers):
+            x = nn.Dense(self.hidden_size, dtype=dt, param_dtype=pdt, name=f"trunk_{i}")(x)
+            x = nn.tanh(x)
+
+        outs = []
+        if "f0" in streams:
+            h = x
+            if self.use_blstm_heads:
+                fwd = nn.RNN(nn.OptimizedLSTMCell(self.blstm_size, dtype=dt, param_dtype=pdt), name="f0_fwd")
+                bwd = nn.RNN(
+                    nn.OptimizedLSTMCell(self.blstm_size, dtype=dt, param_dtype=pdt),
+                    reverse=True, keep_order=True, name="f0_bwd",
+                )
+                h = jnp.concatenate([fwd(h), bwd(h)], axis=-1)
+            f0 = nn.Dense(1, dtype=dt, param_dtype=pdt, name="f0_out")(h)
+            outs.append(("f0", f0))
+        if "vuv" in streams:
+            vuv = nn.Dense(1, dtype=dt, param_dtype=pdt, name="vuv_out")(x)
+            outs.append(("vuv", vuv))
+
+        # spectral stream as a (T, freq, C) image refined by 2D convs
+        spec_key = "spec" if "spec" in streams else "mel"
+        a, b = streams[spec_key]
+        spec_size = b - a
+        img = nn.Dense(spec_size * 2, dtype=dt, param_dtype=pdt, name="spec_seed")(x)
+        img = nn.tanh(img)
+        img = img.reshape(img.shape[0], img.shape[1], spec_size, 2)
+        img = nn.Conv(self.channels, self.kernel, dtype=dt, param_dtype=pdt, name="spec_in")(img)
+        for i in range(self.blocks):
+            r = nn.gelu(img)
+            r = nn.Conv(self.channels, self.kernel, dtype=dt, param_dtype=pdt, name=f"spec_conv{i}a")(r)
+            r = nn.gelu(r)
+            r = nn.Conv(self.channels, self.kernel, dtype=dt, param_dtype=pdt, name=f"spec_conv{i}b")(r)
+            img = img + r
+        spec = nn.Conv(1, self.kernel, dtype=dt, param_dtype=pdt, name="spec_out")(img)
+        outs.append((spec_key, spec[..., 0]))
+
+        for name in ("nm", "bap"):
+            if name in streams:
+                a, b = streams[name]
+                h = nn.Dense(self.hidden_size // 2, dtype=dt, param_dtype=pdt, name=f"{name}_hidden")(x)
+                h = nn.tanh(h)
+                y = nn.Dense(b - a, dtype=dt, param_dtype=pdt, name=f"{name}_out")(h)
+                outs.append((name, y))
+
+        # assemble streams back into the composed feature order
+        order = sorted(streams.items(), key=lambda kv: kv[1][0])
+        by_name = dict(outs)
+        return jnp.concatenate(
+            [by_name[n] for n, _ in order], axis=-1
+        ).astype(jnp.float32)
+
+
+def build_generator(model_cfg: ModelConfig, vocoder: VocoderConfig, label_dim: int) -> nn.Module:
+    """Factory mapping config → generator module (reference: the model-choice
+    switch in run.py)."""
+    kind = model_cfg.generator
+    feat_dim = vocoder.feature_size
+    common = dict(
+        compute_dtype=model_cfg.compute_dtype,
+        param_dtype=model_cfg.param_dtype,
+    )
+    if kind == "fc":
+        return FCGenerator(
+            feat_dim=feat_dim,
+            hidden_size=model_cfg.hidden_size,
+            num_layers=model_cfg.num_layers,
+            **common,
+        )
+    if kind == "blstm":
+        return BLSTMGenerator(
+            feat_dim=feat_dim,
+            hidden_size=model_cfg.blstm_size,
+            num_layers=model_cfg.blstm_layers,
+            **common,
+        )
+    if kind in ("cnn", "cnn_blstm"):
+        return CNNGenerator(
+            vocoder=vocoder,
+            hidden_size=model_cfg.hidden_size,
+            channels=model_cfg.cnn_channels,
+            blocks=model_cfg.cnn_blocks,
+            kernel=(model_cfg.cnn_kernel_time, model_cfg.cnn_kernel_freq),
+            use_blstm_heads=(kind == "cnn_blstm"),
+            blstm_size=model_cfg.blstm_size // 2,
+            **common,
+        )
+    raise ValueError(f"unknown generator kind: {kind}")

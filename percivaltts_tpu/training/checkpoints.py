@@ -1,0 +1,58 @@
+"""Checkpoint / resume.
+
+Reference parity: percivaltts writes Keras ``.h5`` weights on validation
+improvement and its ``cont`` flag reloads them to continue training
+(``optimizertts*.py``; SURVEY.md §5 "Checkpoint/resume"); the normalization
+stats ``.dat`` files written by compose.py are part of the checkpoint in
+practice. Rebuilt on Orbax: one checkpoint holds generator+critic params,
+both Adam states, the RNG key, and epoch/step counters; the normalization
+stats (`.npz`) and config (`.json`) are stored alongside in the workdir so
+generation is self-contained.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from percivaltts_tpu.training.state import GANState
+
+
+class CheckpointManager:
+    """Thin wrapper around an Orbax CheckpointManager for GANState pytrees."""
+
+    def __init__(self, directory: str, keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep,
+                create=True,
+                enable_async_checkpointing=False,
+            ),
+        )
+
+    def save(self, step: int, state: GANState, wait: bool = True) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, abstract_state: GANState, step: Optional[int] = None) -> GANState:
+        """Restore into the structure of ``abstract_state`` (a freshly built
+        GANState with the same config — the reference's rebuild-model +
+        load-weights resume)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found under {self.directory}")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
+
+    def close(self) -> None:
+        self._mgr.close()

@@ -1,0 +1,220 @@
+"""Training loop: epochs, validation, early stopping, checkpointing.
+
+Reference parity: the epoch loops of ``percivaltts/optimizertts.py`` and
+``optimizertts_wgan.py`` (SURVEY.md §2, §3.2–3.3) — shuffled batches each
+epoch, per-epoch validation cost, early stopping on best validation with
+patience, save-best checkpointing, resume ("cont").
+
+TPU-first notes:
+* The WGAN outer step consumes ``n_critic + 1`` same-shape batches (one per
+  critic update + one for the generator), stacked host-side and fed to the
+  single fused jit region — the device never waits on Python between critic
+  updates.
+* Under a mesh, batches are sharded over the ``data`` axis and state is
+  replicated; the same jitted step runs 1-device or N-device unchanged.
+* Bucketed static shapes mean at most ``len(bucket_bounds)`` compilations
+  per step function for the whole run.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from percivaltts_tpu.config import Configuration
+from percivaltts_tpu.data.dataset import Dataset
+from percivaltts_tpu.parallel.mesh import replicate_state, shard_batch
+from percivaltts_tpu.training.checkpoints import CheckpointManager
+from percivaltts_tpu.training.lse import lse_eval_step, lse_step
+from percivaltts_tpu.training.state import GANState, make_gan_state
+from percivaltts_tpu.training.wgan import make_wgan_step
+from percivaltts_tpu.utils.logging import MetricsLogger, print_log
+
+
+def _group_wgan_batches(
+    batches: Iterator[Dict[str, np.ndarray]], group: int
+) -> Iterator[Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]]:
+    """Group same-shape batches into (stacked critic batches, gen batch).
+
+    At epoch end, leftover buffered batches are cycled to complete a final
+    group (small corpora would otherwise yield zero WGAN steps per epoch).
+    """
+    buffers: Dict[int, List[Dict[str, np.ndarray]]] = {}
+    for b in batches:
+        bound = b["lab"].shape[1]
+        buf = buffers.setdefault(bound, [])
+        buf.append(b)
+        if len(buf) == group:
+            critic = {
+                k: np.stack([x[k] for x in buf[:-1]]) for k in buf[0]
+            }
+            yield critic, buf[-1]
+            buffers[bound] = []
+    for bound, buf in buffers.items():
+        if not buf:
+            continue
+        cycled = [buf[i % len(buf)] for i in range(group)]
+        critic = {k: np.stack([x[k] for x in cycled[:-1]]) for k in cycled[0]}
+        yield critic, cycled[-1]
+
+
+class Trainer:
+    """End-to-end trainer for both the LSE and WGAN-GP objectives."""
+
+    def __init__(
+        self,
+        cfg: Configuration,
+        train_ds: Dataset,
+        valid_ds: Optional[Dataset] = None,
+        mesh=None,
+        workdir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.train_ds = train_ds
+        self.valid_ds = valid_ds
+        self.mesh = mesh
+        if mesh is not None:
+            dp = mesh.shape["data"]
+            if cfg.data.batch_size % dp != 0:
+                raise ValueError(
+                    f"batch_size {cfg.data.batch_size} must be divisible by "
+                    f"the mesh data axis ({dp} devices) for data parallelism"
+                )
+        self.workdir = workdir or cfg.workdir
+        os.makedirs(self.workdir, exist_ok=True)
+        cfg.dump(os.path.join(self.workdir, "config.json"))
+        self.metrics = MetricsLogger(os.path.join(self.workdir, "metrics.jsonl"))
+        self.ckpt = CheckpointManager(
+            os.path.join(self.workdir, "checkpoints"), keep=cfg.train.keep_checkpoints
+        )
+
+        if cfg.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+
+        self.state: GANState = make_gan_state(cfg, train_ds.label_dim)
+        if mesh is not None:
+            self.state = replicate_state(self.state, mesh)
+
+        if cfg.train.trainer == "wgan":
+            self._wgan_step = jax.jit(make_wgan_step(cfg.train), donate_argnums=(0,))
+        else:
+            self._lse_step = jax.jit(lse_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(lse_eval_step)
+
+        self.best_valid = float("inf")
+        self.best_epoch = -1
+
+    # ------------------------------------------------------------------ #
+
+    def resume(self) -> bool:
+        """Reload the latest checkpoint if one exists (the reference's
+        ``cont`` flag). Returns True when resumed."""
+        step = self.ckpt.latest_step()
+        if step is None:
+            return False
+        def _abstract(x):
+            a = jax.numpy.asarray(x)
+            return jax.ShapeDtypeStruct(
+                a.shape, a.dtype, sharding=getattr(x, "sharding", None)
+            )
+
+        abstract = jax.tree.map(_abstract, self.state)
+        self.state = self.ckpt.restore(abstract, step)
+        print_log(f"resumed from checkpoint at epoch {step}")
+        return True
+
+    def _put(self, batch):
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    def _train_epoch(self, epoch: int) -> Dict[str, float]:
+        t0 = time.time()
+        d = self.cfg.data
+        batches = self.train_ds.batches(
+            d.batch_size, d.bucket_bounds, shuffle=True, seed=d.shuffle_seed, epoch=epoch
+        )
+        agg: Dict[str, float] = {}
+        nsteps = 0
+        frames = 0.0
+        if self.cfg.train.trainer == "wgan":
+            group = self.cfg.train.n_critic + 1
+            for critic_b, gen_b in _group_wgan_batches(batches, group):
+                cb = {k: v for k, v in critic_b.items()}
+                if self.mesh is not None:
+                    from percivaltts_tpu.parallel.mesh import shard_stacked_batch
+
+                    cb = shard_stacked_batch(cb, self.mesh)
+                self.state, m = self._wgan_step(self.state, cb, self._put(gen_b))
+                nsteps += 1
+                frames += float(critic_b["mask"].sum() + gen_b["mask"].sum())
+                for k, v in m.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+        else:
+            for b in batches:
+                self.state, m = self._lse_step(self.state, self._put(b))
+                nsteps += 1
+                frames += float(b["mask"].sum())
+                for k, v in m.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+        dt = time.time() - t0
+        out = {k: v / max(nsteps, 1) for k, v in agg.items()}
+        out.update(steps=nsteps, sec=dt, frames_per_sec=frames / max(dt, 1e-9))
+        return out
+
+    def _validate(self) -> float:
+        if self.valid_ds is None or len(self.valid_ds) == 0:
+            return float("nan")
+        d = self.cfg.data
+        tot, n = 0.0, 0
+        for b in self.valid_ds.batches(
+            d.batch_size, d.bucket_bounds, shuffle=False, drop_remainder=False
+        ):
+            tot += float(self._eval_step(self.state, self._put(b)))
+            n += 1
+        return tot / max(n, 1)
+
+    def train(self, epochs: Optional[int] = None) -> Dict[str, list]:
+        cfg = self.cfg.train
+        epochs = cfg.epochs if epochs is None else epochs
+        start_epoch = int(self.state.epoch)
+        history: Dict[str, list] = {"train": [], "valid": []}
+        for epoch in range(start_epoch, epochs):
+            tr = self._train_epoch(epoch)
+            va = self._validate()
+            self.state = self.state.replace(
+                epoch=jax.numpy.asarray(epoch + 1, jax.numpy.int32)
+            )
+            self.metrics.log("epoch", epoch=epoch, valid=va, **tr)
+            history["train"].append(tr)
+            history["valid"].append(va)
+            print_log(
+                f"epoch {epoch}: loss={tr.get('loss', float('nan')):.5f} "
+                f"valid={va:.5f} ({tr['frames_per_sec']:.0f} frames/s)"
+            )
+
+            improved = va < self.best_valid if va == va else False
+            if improved:
+                self.best_valid = va
+                self.best_epoch = epoch
+            if (epoch + 1) % cfg.checkpoint_every == 0 or improved:
+                self.ckpt.save(epoch, self.state)
+            if (
+                self.best_epoch >= 0
+                and epoch - self.best_epoch >= cfg.patience
+                and va == va
+            ):
+                print_log(
+                    f"early stopping at epoch {epoch} "
+                    f"(best valid {self.best_valid:.5f} @ {self.best_epoch})"
+                )
+                break
+        return history
+
+    def close(self):
+        self.metrics.close()
+        self.ckpt.close()

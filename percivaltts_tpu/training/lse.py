@@ -1,0 +1,48 @@
+"""LSE (least-squares) trainer step.
+
+Reference parity: ``percivaltts/optimizertts.py`` (SURVEY.md §2 "Trainer:
+LSE", §3.2) — masked MSE regression with Adam. Rebuilt as one pure jitted
+function ``state, batch → state, metrics``; under a mesh the same function is
+jitted with the batch sharded over the ``data`` axis and XLA inserts the
+gradient psum (SURVEY.md §2 parallelism table).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from percivaltts_tpu.training.losses import masked_mse
+from percivaltts_tpu.training.state import GANState
+
+
+def lse_step(
+    state: GANState, batch: Dict[str, jax.Array]
+) -> Tuple[GANState, Dict[str, jax.Array]]:
+    """One masked-MSE generator update."""
+    lab, cmp, mask = batch["lab"], batch["cmp"], batch["mask"]
+
+    def loss_fn(params):
+        pred = state.gen.apply_fn(params, lab)
+        return masked_mse(pred, cmp, mask)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.gen.params)
+    gen = state.gen.apply_gradients(grads=grads)
+    metrics = {
+        "loss": loss,
+        "grad_norm": optax_global_norm(grads),
+    }
+    return state.replace(gen=gen), metrics
+
+
+def optax_global_norm(tree) -> jax.Array:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.vdot(x, x).real for x in leaves))
+
+
+def lse_eval_step(state: GANState, batch: Dict[str, jax.Array]) -> jax.Array:
+    """Masked validation MSE (no update)."""
+    pred = state.gen.apply_fn(state.gen.params, batch["lab"])
+    return masked_mse(pred, batch["cmp"], batch["mask"])

@@ -1,0 +1,79 @@
+"""Training state containers.
+
+Reference parity: the weights + Adam-state bookkeeping inside percivaltts's
+``optimizertts*.py`` trainers (SURVEY.md §2). Here both networks' states are
+one pytree (flax TrainState pair + RNG key + step counter) so the whole
+training step is a pure function ``state, batch → state, metrics`` — the
+shape jit/pjit wants, and the unit Orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+
+from percivaltts_tpu.config import Configuration
+from percivaltts_tpu.models import build_generator
+from percivaltts_tpu.models.critic import build_critic
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+@struct.dataclass
+class GANState:
+    """Generator (+ optional critic) training state, one pytree."""
+
+    gen: TrainState
+    critic: Optional[TrainState]
+    key: jax.Array
+    epoch: jax.Array  # int32 scalar
+
+    @property
+    def step(self):
+        return self.gen.step
+
+
+def _adam(lr: float, b1: float, b2: float) -> optax.GradientTransformation:
+    return optax.adam(lr, b1=b1, b2=b2)
+
+
+def make_gan_state(
+    cfg: Configuration, label_dim: int, seed: Optional[int] = None
+) -> GANState:
+    """Build generator (+ critic for the WGAN trainer) and optimizer states."""
+    seed = cfg.train.seed if seed is None else seed
+    key = jax.random.key(seed)
+    kg, kc, krest = jax.random.split(key, 3)
+    T = min(cfg.data.bucket_bounds)
+    lab = jnp.zeros((1, T, label_dim), jnp.float32)
+
+    gen = build_generator(cfg.model, cfg.vocoder, label_dim)
+    gen_params = gen.init(kg, lab)
+    gen_ts = TrainState.create(
+        apply_fn=gen.apply,
+        params=gen_params,
+        tx=_adam(cfg.train.lr_gen, cfg.train.adam_b1, cfg.train.adam_b2),
+    )
+
+    critic_ts = None
+    if cfg.train.trainer == "wgan":
+        critic = build_critic(cfg.model, cfg.vocoder)
+        cmp = jnp.zeros((1, T, cfg.vocoder.feature_size), jnp.float32)
+        mask = jnp.ones((1, T), jnp.float32)
+        critic_params = critic.init(kc, cmp, lab, mask)
+        critic_ts = TrainState.create(
+            apply_fn=critic.apply,
+            params=critic_params,
+            tx=_adam(cfg.train.lr_critic, cfg.train.adam_b1, cfg.train.adam_b2),
+        )
+
+    return GANState(
+        gen=gen_ts, critic=critic_ts, key=krest, epoch=jnp.asarray(0, jnp.int32)
+    )

@@ -1,0 +1,118 @@
+"""Fused WGAN-GP training step.
+
+Reference parity: ``percivaltts/optimizertts_wgan.py`` (SURVEY.md §2
+"Trainer: WGAN-GP", §3.3 — the headline path): per generator update,
+``n_critic`` critic updates each minimizing
+
+    D(fake) − D(real) + λ · (‖∇_x̂ D(x̂)‖₂ − 1)²,   x̂ = ε·real + (1−ε)·fake
+
+followed by one generator update minimizing ``−D(G(lab))`` mixed with a
+weighted masked LSE term. λ=10, n_critic=5, Adam(β1=.5, β2=.9) defaults per
+WGAN-GP practice.
+
+TPU-first design (the single most performance-critical construct per
+SURVEY.md §3.3): the *whole* outer step — the ``n_critic`` inner critic loop
+(``lax.fori_loop`` over a stacked batch pytree), the double-backprop gradient
+penalty (``jax.grad`` through the critic w.r.t. its input), and the generator
+update — is one jit/pjit region. Under a device mesh the batches are sharded
+over the ``data`` axis and XLA emits the gradient all-reduces over ICI; no
+host round-trips inside the step.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from percivaltts_tpu.config import TrainConfig
+from percivaltts_tpu.training.losses import masked_mse
+from percivaltts_tpu.training.state import GANState
+
+
+def make_wgan_step(
+    cfg: TrainConfig,
+) -> Callable[[GANState, Dict[str, jax.Array], Dict[str, jax.Array]], Tuple[GANState, Dict[str, jax.Array]]]:
+    """Build the fused step. ``critic_batches`` carries a leading
+    ``n_critic`` axis (one fresh batch per critic update, as the reference
+    draws); ``gen_batch`` is the batch for the generator update."""
+
+    n_critic = cfg.n_critic
+    gp_lambda = cfg.gp_lambda
+    lse_weight = cfg.lse_weight
+
+    def critic_loss_fn(critic_params, gen_params, batch, eps_key, state: GANState):
+        lab, real, mask = batch["lab"], batch["cmp"], batch["mask"]
+        fake = state.gen.apply_fn(gen_params, lab)
+        fake = jax.lax.stop_gradient(fake)
+        d_real = state.critic.apply_fn(critic_params, real, lab, mask)
+        d_fake = state.critic.apply_fn(critic_params, fake, lab, mask)
+
+        # gradient penalty on per-sample interpolates
+        eps = jax.random.uniform(eps_key, (real.shape[0], 1, 1))
+        interp = eps * real + (1.0 - eps) * fake
+
+        def d_sum(x):
+            return state.critic.apply_fn(critic_params, x, lab, mask).sum()
+
+        g = jax.grad(d_sum)(interp) * mask[..., None]
+        gnorm = jnp.sqrt(jnp.sum(jnp.square(g), axis=(1, 2)) + 1e-12)
+        gp = jnp.mean(jnp.square(gnorm - 1.0))
+
+        w_dist = jnp.mean(d_real) - jnp.mean(d_fake)
+        loss = -w_dist + gp_lambda * gp
+        return loss, (w_dist, gp)
+
+    def gen_loss_fn(gen_params, critic_params, batch, state: GANState):
+        lab, real, mask = batch["lab"], batch["cmp"], batch["mask"]
+        fake = state.gen.apply_fn(gen_params, lab)
+        adv = -jnp.mean(state.critic.apply_fn(critic_params, fake, lab, mask))
+        lse = masked_mse(fake, real, mask)
+        return adv + lse_weight * lse, (adv, lse)
+
+    def step(
+        state: GANState,
+        critic_batches: Dict[str, jax.Array],
+        gen_batch: Dict[str, jax.Array],
+    ) -> Tuple[GANState, Dict[str, jax.Array]]:
+        key, *eps_keys = jax.random.split(state.key, n_critic + 1)
+        eps_keys = jnp.stack(eps_keys)
+
+        def critic_body(i, carry):
+            critic_ts, w_acc, gp_acc = carry
+            batch = jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
+                critic_batches,
+            )
+            (loss, (w, gp)), grads = jax.value_and_grad(
+                critic_loss_fn, has_aux=True
+            )(critic_ts.params, state.gen.params, batch, eps_keys[i], state)
+            critic_ts = critic_ts.apply_gradients(grads=grads)
+            return critic_ts, w_acc + w, gp_acc + gp
+
+        critic_ts, w_sum, gp_sum = jax.lax.fori_loop(
+            0, n_critic, critic_body, (state.critic, jnp.float32(0), jnp.float32(0))
+        )
+
+        (gen_loss, (adv, lse)), gen_grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True
+        )(state.gen.params, critic_ts.params, gen_batch, state)
+        gen_ts = state.gen.apply_gradients(grads=gen_grads)
+
+        metrics = {
+            "loss": gen_loss,
+            "gen_adv": adv,
+            "lse": lse,
+            "w_dist": w_sum / n_critic,
+            "gp": gp_sum / n_critic,
+        }
+        new_state = state.replace(gen=gen_ts, critic=critic_ts, key=key)
+        return new_state, metrics
+
+    return step
+
+
+# default-config step for direct use/tests
+def wgan_step(state, critic_batches, gen_batch, cfg: TrainConfig = TrainConfig()):
+    return make_wgan_step(cfg)(state, critic_batches, gen_batch)

@@ -1,0 +1,66 @@
+import numpy as np
+import scipy.fft
+
+from percivaltts_tpu.eval import (
+    f0_rmse,
+    f0_rmse_cents,
+    log_spec_to_cepstra,
+    mcd,
+    vuv_error,
+)
+
+
+def test_dct_matches_scipy_oracle():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(7, 33)).astype(np.float32)
+    ours = np.asarray(log_spec_to_cepstra(x))
+    oracle = scipy.fft.dct(x, type=2, norm="ortho", axis=-1)
+    np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-5)
+
+
+def test_mcd_zero_for_identical():
+    rng = np.random.default_rng(1)
+    c = rng.normal(size=(10, 25)).astype(np.float32)
+    assert float(mcd(c, c)) == 0.0
+
+
+def test_mcd_known_value():
+    c1 = np.zeros((4, 3), dtype=np.float32)
+    c2 = np.zeros((4, 3), dtype=np.float32)
+    c2[:, 1] = 1.0  # c0 excluded, so distance = sqrt(1)
+    expected = 10.0 / np.log(10.0) * np.sqrt(2.0)
+    np.testing.assert_allclose(float(mcd(c1, c2)), expected, rtol=1e-6)
+    # c0 differences are ignored
+    c2[:, 0] = 99.0
+    np.testing.assert_allclose(float(mcd(c1, c2)), expected, rtol=1e-6)
+
+
+def test_mcd_respects_mask():
+    rng = np.random.default_rng(2)
+    c1 = rng.normal(size=(10, 5)).astype(np.float32)
+    c2 = rng.normal(size=(10, 5)).astype(np.float32)
+    mask = np.zeros(10, dtype=np.float32)
+    mask[:4] = 1.0
+    full = float(mcd(c1[:4], c2[:4]))
+    masked = float(mcd(c1, c2, mask=mask))
+    np.testing.assert_allclose(masked, full, rtol=1e-5)
+
+
+def test_f0_rmse_both_voiced_only():
+    f1 = np.array([100.0, 200.0, 300.0, 0.0], np.float32)
+    f2 = np.array([110.0, 200.0, 0.0, 0.0], np.float32)
+    v1 = np.array([1.0, 1.0, 1.0, 0.0], np.float32)
+    v2 = np.array([1.0, 1.0, 0.0, 0.0], np.float32)
+    # only frames 0,1 count: rmse = sqrt((100)/2) = sqrt(50)
+    np.testing.assert_allclose(float(f0_rmse(f1, f2, v1, v2)), np.sqrt(50.0), rtol=1e-6)
+    cents = float(f0_rmse_cents(f1, f2, v1, v2))
+    expected = np.sqrt((1200 * np.log2(100 / 110)) ** 2 / 2)
+    np.testing.assert_allclose(cents, expected, rtol=1e-5)
+
+
+def test_vuv_error():
+    v1 = np.array([1.0, 1.0, 0.0, 0.0], np.float32)
+    v2 = np.array([1.0, 0.0, 0.0, 1.0], np.float32)
+    np.testing.assert_allclose(float(vuv_error(v1, v2)), 50.0)
+    mask = np.array([1.0, 1.0, 0.0, 0.0], np.float32)
+    np.testing.assert_allclose(float(vuv_error(v1, v2, mask)), 50.0)

@@ -1,0 +1,90 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from percivaltts_tpu.config import ModelConfig, VocoderConfig
+from percivaltts_tpu.models import build_generator, count_params, predict_utterance
+from percivaltts_tpu.models.critic import build_critic
+
+VOC = VocoderConfig(spec_size=33, nm_size=17)  # small dims for test speed
+LDIM = 23
+
+
+def _batch(B=2, T=64, seed=0):
+    rng = np.random.default_rng(seed)
+    lab = rng.normal(size=(B, T, LDIM)).astype(np.float32)
+    mask = np.ones((B, T), dtype=np.float32)
+    mask[1, T // 2 :] = 0.0
+    return jnp.asarray(lab), jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("kind", ["fc", "blstm", "cnn", "cnn_blstm"])
+def test_generator_shapes(kind):
+    cfg = ModelConfig(generator=kind, hidden_size=32, blstm_size=16,
+                      cnn_channels=4, cnn_blocks=1, blstm_layers=1, num_layers=2)
+    gen = build_generator(cfg, VOC, LDIM)
+    lab, _ = _batch()
+    params = gen.init(jax.random.key(0), lab)
+    out = jax.jit(gen.apply)(params, lab)
+    assert out.shape == (2, 64, VOC.feature_size)
+    assert out.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert count_params(params) > 0
+
+
+def test_generator_jit_consistency():
+    cfg = ModelConfig(generator="fc", hidden_size=32, num_layers=2,
+                      compute_dtype="float32")
+    gen = build_generator(cfg, VOC, LDIM)
+    lab, _ = _batch()
+    params = gen.init(jax.random.key(0), lab)
+    eager = gen.apply(params, lab)
+    jitted = jax.jit(gen.apply)(params, lab)
+    np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted), atol=1e-5)
+
+
+def test_predict_utterance_pads_and_crops():
+    cfg = ModelConfig(generator="cnn", hidden_size=32, cnn_channels=4, cnn_blocks=1)
+    gen = build_generator(cfg, VOC, LDIM)
+    lab = np.random.default_rng(0).normal(size=(100, LDIM)).astype(np.float32)
+    params = gen.init(jax.random.key(0), lab[None, :64])
+    out = predict_utterance(gen.apply, params, lab)
+    assert out.shape == (100, VOC.feature_size)
+
+
+def test_critic_scalar_output_and_mask_invariance():
+    mcfg = ModelConfig(critic_channels=4, critic_blocks=2, critic_hidden=32,
+                       compute_dtype="float32")
+    critic = build_critic(mcfg, VOC)
+    lab, mask = _batch()
+    cmp = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 64, VOC.feature_size)).astype(np.float32)
+    )
+    params = critic.init(jax.random.key(0), cmp, lab, mask)
+    score = jax.jit(critic.apply)(params, cmp, lab, mask)
+    assert score.shape == (2,)
+    assert bool(jnp.all(jnp.isfinite(score)))
+    # changing features in fully-masked frames must not change the score
+    cmp2 = cmp.at[1, 40:].set(99.0)
+    lab2 = lab.at[1, 40:].set(-99.0)
+    score2 = jax.jit(critic.apply)(params, cmp2, lab2, mask)
+    np.testing.assert_allclose(np.asarray(score), np.asarray(score2), atol=2e-4)
+
+
+def test_critic_gradient_flows():
+    mcfg = ModelConfig(critic_channels=4, critic_blocks=2, critic_hidden=32,
+                       compute_dtype="float32")
+    critic = build_critic(mcfg, VOC)
+    lab, mask = _batch()
+    cmp = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 64, VOC.feature_size)).astype(np.float32)
+    )
+    params = critic.init(jax.random.key(0), cmp, lab, mask)
+
+    def f(c):
+        return critic.apply(params, c, lab, mask).sum()
+
+    g = jax.grad(f)(cmp)
+    assert g.shape == cmp.shape
+    assert float(jnp.abs(g).max()) > 0.0

@@ -1,0 +1,144 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from percivaltts_tpu.config import (
+    Configuration,
+    DataConfig,
+    ModelConfig,
+    TrainConfig,
+    VocoderConfig,
+)
+from percivaltts_tpu.data.dataset import Dataset
+from percivaltts_tpu.training import Trainer, make_gan_state
+from percivaltts_tpu.training.lse import lse_step
+from percivaltts_tpu.training.wgan import make_wgan_step
+
+VOC = VocoderConfig(spec_size=17, nm_size=9)
+LDIM = 11
+
+
+def _cfg(trainer="lse", generator="fc", workdir="exp/test", **train_kw):
+    return Configuration(
+        workdir=workdir,
+        data=DataConfig(batch_size=4, bucket_bounds=(64,), label_dim=LDIM),
+        vocoder=VOC,
+        model=ModelConfig(
+            generator=generator, hidden_size=32, num_layers=2,
+            cnn_channels=4, cnn_blocks=1, blstm_size=16, blstm_layers=1,
+            critic_channels=4, critic_blocks=2, critic_hidden=32,
+            compute_dtype="float32",
+        ),
+        train=TrainConfig(trainer=trainer, n_critic=2, epochs=3, patience=10,
+                          lr_gen=1e-3, lr_critic=1e-3, **train_kw),
+    )
+
+
+def _toy_ds(n=24, seed=0):
+    """Learnable mapping: targets are a fixed linear function of labels."""
+    rng = np.random.default_rng(seed)
+    W = rng.normal(size=(LDIM, VOC.feature_size)).astype(np.float32) * 0.5
+    labs, cmps = [], []
+    for _ in range(n):
+        L = int(rng.integers(30, 64))
+        lab = rng.normal(size=(L, LDIM)).astype(np.float32)
+        cmps.append((lab @ W).astype(np.float32))
+        labs.append(lab)
+    return Dataset(labs=labs, cmps=cmps)
+
+
+def _batch_of(ds, cfg):
+    return next(iter(ds.batches(cfg.data.batch_size, cfg.data.bucket_bounds, seed=0)))
+
+
+def test_lse_step_decreases_loss():
+    cfg = _cfg()
+    ds = _toy_ds()
+    state = make_gan_state(cfg, LDIM)
+    batch = {k: jnp.asarray(v) for k, v in _batch_of(ds, cfg).items()}
+    step = jax.jit(lse_step)
+    losses = []
+    for _ in range(150):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.5
+    assert np.isfinite(losses).all()
+
+
+def test_wgan_step_runs_and_updates_both_nets():
+    cfg = _cfg(trainer="wgan", generator="cnn")
+    ds = _toy_ds()
+    state = make_gan_state(cfg, LDIM)
+    it = ds.batches(cfg.data.batch_size, cfg.data.bucket_bounds, seed=0)
+    bs = [next(it) for _ in range(cfg.train.n_critic + 1)]
+    critic_b = {k: np.stack([b[k] for b in bs[:-1]]) for k in bs[0]}
+    gen_b = bs[-1]
+    step = jax.jit(make_wgan_step(cfg.train))
+
+    g0 = jax.tree.leaves(state.gen.params)[0].copy()
+    c0 = jax.tree.leaves(state.critic.params)[0].copy()
+    k0 = state.key
+    state2, m = step(state, critic_b, gen_b)
+    for k in ("loss", "gen_adv", "lse", "w_dist", "gp"):
+        assert np.isfinite(float(m[k])), k
+    assert not np.allclose(jax.tree.leaves(state2.gen.params)[0], g0)
+    assert not np.allclose(jax.tree.leaves(state2.critic.params)[0], c0)
+    assert not np.array_equal(
+        jax.random.key_data(state2.key), jax.random.key_data(k0)
+    )
+    # a couple more steps stay finite
+    for _ in range(2):
+        state2, m = step(state2, critic_b, gen_b)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_trainer_end_to_end_lse(tmp_path):
+    cfg = _cfg(workdir=str(tmp_path / "exp"))
+    ds = _toy_ds(n=20)
+    tr_ds = Dataset(labs=ds.labs[:16], cmps=ds.cmps[:16])
+    va_ds = Dataset(labs=ds.labs[16:], cmps=ds.cmps[16:])
+    t = Trainer(cfg, tr_ds, va_ds)
+    hist = t.train(epochs=3)
+    assert len(hist["train"]) == 3
+    losses = [h["loss"] for h in hist["train"]]
+    assert losses[-1] < losses[0]
+    assert np.isfinite(hist["valid"]).all()
+    # artifacts exist
+    assert os.path.exists(os.path.join(cfg.workdir, "config.json"))
+    assert os.path.exists(os.path.join(cfg.workdir, "metrics.jsonl"))
+    assert t.ckpt.latest_step() is not None
+    t.close()
+
+
+def test_trainer_resume(tmp_path):
+    cfg = _cfg(workdir=str(tmp_path / "exp"))
+    ds = _toy_ds(n=16)
+    t = Trainer(cfg, ds)
+    t.train(epochs=2)
+    state_before = t.state
+    t.close()
+
+    t2 = Trainer(cfg, ds)
+    assert t2.resume()
+    assert int(t2.state.epoch) == int(state_before.epoch)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(t2.state.gen.params)[0]),
+        np.asarray(jax.tree.leaves(state_before.gen.params)[0]),
+    )
+    # continues training without error
+    t2.train(epochs=3)
+    t2.close()
+
+
+def test_trainer_wgan_end_to_end(tmp_path):
+    cfg = _cfg(trainer="wgan", generator="cnn", workdir=str(tmp_path / "exp"))
+    ds = _toy_ds(n=24)
+    t = Trainer(cfg, ds)
+    hist = t.train(epochs=2)
+    assert len(hist["train"]) == 2
+    assert all(np.isfinite(h["loss"]) for h in hist["train"])
+    assert hist["train"][0]["steps"] >= 1
+    t.close()
