@@ -1,0 +1,152 @@
+"""Command-line entry points: demo / compose / train / generate.
+
+Reference parity: percivaltts's experiment driver (``percivaltts/run.py`` +
+``clone.sh``/``setenv.sh``; SURVEY.md §2 "Experiment driver", §5 "Config/flag
+system"). The reference's edit-the-python-file workflow becomes a JSON config
+consumed by subcommands; reproducibility comes from the config dump into the
+workdir (plus checkpoints + stats) instead of code cloning.
+
+Usage:
+    python -m percivaltts_tpu.cli demo --out corpus/ [--num 20]
+    python -m percivaltts_tpu.cli compose --config cfg.json
+    python -m percivaltts_tpu.cli train --config cfg.json [--resume]
+    python -m percivaltts_tpu.cli generate --config cfg.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from percivaltts_tpu.config import Configuration
+from percivaltts_tpu.utils.logging import print_log
+
+
+def _load_config(path: str) -> Configuration:
+    return Configuration.load(path)
+
+
+def cmd_demo(args) -> int:
+    from percivaltts_tpu.data.demo import generate_demo_corpus
+
+    generate_demo_corpus(args.out, num_utterances=args.num, seed=args.seed)
+    # also drop a ready-to-edit config pointing at the corpus
+    cfg = Configuration(
+        workdir=os.path.join(args.out, "exp"),
+    ).replace()
+    d = cfg.to_dict()
+    d["data"]["corpus_dir"] = args.out
+    d["data"]["fileids"] = os.path.join(args.out, "fileids.scp")
+    d["data"]["question_file"] = os.path.join(args.out, "questions.hed")
+    cfg_path = os.path.join(args.out, "config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(d, f, indent=2, sort_keys=True)
+    print_log(f"wrote {cfg_path}")
+    return 0
+
+
+def _compose(cfg: Configuration):
+    from percivaltts_tpu.data.compose import compose
+
+    cache = os.path.join(cfg.workdir, "feature_cache")
+    os.makedirs(cache, exist_ok=True)
+    corpus = compose(cfg, cache_dir=cache)
+    corpus.save_stats(cfg.workdir)
+    return corpus
+
+
+def cmd_compose(args) -> int:
+    cfg = _load_config(args.config)
+    corpus = _compose(cfg)
+    print_log(
+        f"train/valid/test: {len(corpus.train)}/{len(corpus.valid)}/"
+        f"{len(corpus.test)} utterances, label_dim={corpus.train.label_dim}, "
+        f"feat_dim={corpus.train.feat_dim}"
+    )
+    return 0
+
+
+def cmd_train(args) -> int:
+    cfg = _load_config(args.config)
+    corpus = _compose(cfg)
+    from percivaltts_tpu.parallel import make_mesh
+    from percivaltts_tpu.training import Trainer
+
+    mesh = None
+    if args.mesh:
+        mesh = make_mesh(data_parallel=cfg.train.data_parallel)
+        print_log(f"training on mesh {mesh}")
+    trainer = Trainer(cfg, corpus.train, corpus.valid, mesh=mesh)
+    if args.resume:
+        trainer.resume()
+    trainer.train()
+    trainer.close()
+    return 0
+
+
+def cmd_generate(args) -> int:
+    cfg = _load_config(args.config)
+    corpus = _compose(cfg)
+    import jax
+
+    from percivaltts_tpu.eval.generate import generate
+    from percivaltts_tpu.training.checkpoints import CheckpointManager
+    from percivaltts_tpu.training.state import make_gan_state
+
+    state = make_gan_state(cfg, corpus.train.label_dim)
+    ckpt = CheckpointManager(os.path.join(cfg.workdir, "checkpoints"))
+
+    def _abstract(x):
+        a = jax.numpy.asarray(x)
+        return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+    state = ckpt.restore(jax.tree.map(_abstract, state), args.checkpoint)
+    measures = generate(
+        cfg,
+        state,
+        corpus.test if args.split == "test" else corpus.valid,
+        corpus.out_stats,
+        synthesize=not args.no_wav,
+        save_features=args.save_features,
+    )
+    with open(os.path.join(cfg.workdir, "measures.json"), "w") as f:
+        json.dump(measures, f, indent=2)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="percivaltts-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pd = sub.add_parser("demo", help="generate the synthetic demo corpus")
+    pd.add_argument("--out", required=True)
+    pd.add_argument("--num", type=int, default=20)
+    pd.add_argument("--seed", type=int, default=1234)
+    pd.set_defaults(fn=cmd_demo)
+
+    pc = sub.add_parser("compose", help="compose corpus features + stats")
+    pc.add_argument("--config", required=True)
+    pc.set_defaults(fn=cmd_compose)
+
+    pt = sub.add_parser("train", help="train (compose first if needed)")
+    pt.add_argument("--config", required=True)
+    pt.add_argument("--resume", action="store_true")
+    pt.add_argument("--mesh", action="store_true", help="train data-parallel over all devices")
+    pt.set_defaults(fn=cmd_train)
+
+    pg = sub.add_parser("generate", help="generate features/wavs + measures")
+    pg.add_argument("--config", required=True)
+    pg.add_argument("--checkpoint", type=int, default=None)
+    pg.add_argument("--split", choices=("test", "valid"), default="test")
+    pg.add_argument("--no-wav", action="store_true")
+    pg.add_argument("--save-features", action="store_true")
+    pg.set_defaults(fn=cmd_generate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

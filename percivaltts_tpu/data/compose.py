@@ -1,0 +1,171 @@
+"""Corpus feature composition: labels + vocoder analysis → training features.
+
+Reference parity: ``percivaltts/compose.py`` (SURVEY.md §2 "Feature
+composition", §3.1): per utterance in the file-id list, binarize the HTS
+label via the question set and run vocoder analysis on the waveform; compute
+corpus normalization statistics; produce normalized composed input ("lab")
+and output ("cmp") features. The reference writes per-utterance binary files
+between every stage; here features flow in memory into a ``Dataset`` (the
+binary-file path is still available via ``save_features`` for
+reference-compatible artifacts and caching).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from percivaltts_tpu.config import Configuration
+from percivaltts_tpu.data.dataset import Dataset, split_fileids
+from percivaltts_tpu.data.hts_labels import QuestionSet, binarize_label_file
+from percivaltts_tpu.data.normalize import NormStats, compute_meanstd, compute_minmax
+from percivaltts_tpu.utils.fileio import load_binary_file, save_binary_file
+from percivaltts_tpu.utils.logging import print_log
+from percivaltts_tpu.vocoders import get_vocoder
+
+
+def load_wav(path: str) -> Tuple[int, np.ndarray]:
+    """Load a wav file as float32 in [-1, 1]."""
+    import scipy.io.wavfile as wavfile
+
+    fs, x = wavfile.read(path)
+    if x.dtype == np.int16:
+        x = x.astype(np.float32) / 32768.0
+    elif x.dtype == np.int32:
+        x = x.astype(np.float32) / 2147483648.0
+    elif x.dtype != np.float32:
+        x = x.astype(np.float32)
+    if x.ndim > 1:
+        x = x.mean(axis=1)
+    return fs, x
+
+
+def save_wav(path: str, fs: int, x: np.ndarray) -> None:
+    import scipy.io.wavfile as wavfile
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    xi = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
+    wavfile.write(path, fs, (xi * 32767.0).astype(np.int16))
+
+
+class ComposedCorpus:
+    """The output of the compose stage: datasets + normalization stats."""
+
+    def __init__(
+        self,
+        train: Dataset,
+        valid: Dataset,
+        test: Dataset,
+        in_stats: NormStats,
+        out_stats: NormStats,
+    ):
+        self.train = train
+        self.valid = valid
+        self.test = test
+        self.in_stats = in_stats
+        self.out_stats = out_stats
+
+    def save_stats(self, workdir: str) -> None:
+        os.makedirs(workdir, exist_ok=True)
+        self.in_stats.save(os.path.join(workdir, "in_stats.npz"))
+        self.out_stats.save(os.path.join(workdir, "out_stats.npz"))
+
+
+def compose(
+    cfg: Configuration,
+    fileids: Optional[Sequence[str]] = None,
+    cache_dir: Optional[str] = None,
+) -> ComposedCorpus:
+    """Run the full composition stage over the corpus in ``cfg.data``.
+
+    Normalization matches the reference: min/max for the binary-heavy label
+    inputs, mean/std for the acoustic targets with the bounded noise-mask
+    stream left un-rescaled.
+    """
+    d = cfg.data
+    voc = get_vocoder(cfg.vocoder)
+    questions = QuestionSet.from_hed(d.question_file)
+    shift_sec = cfg.vocoder.shift_ms / 1000.0
+
+    if fileids is None:
+        with open(d.fileids) as f:
+            fileids = [line.strip() for line in f if line.strip()]
+
+    # cache invalidation: features depend on the vocoder config and the
+    # question set; a stale cache must never silently serve mismatched dims
+    # or features extracted under different analysis parameters.
+    if cache_dir:
+        import dataclasses
+        import json
+
+        meta = {
+            "vocoder": dataclasses.asdict(cfg.vocoder),
+            "question_file": os.path.abspath(d.question_file),
+            "questions_dim": questions.dim,
+        }
+        meta_path = os.path.join(cache_dir, "cache_meta.json")
+        stale = False
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                stale = json.load(f) != meta
+        if stale:
+            print_log("feature cache is stale (vocoder/question config changed); recomputing")
+            for fn in os.listdir(cache_dir):
+                if fn.endswith(".f32"):
+                    os.remove(os.path.join(cache_dir, fn))
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+
+    labs: List[np.ndarray] = []
+    cmps: List[np.ndarray] = []
+    for uid in fileids:
+        lab_path = os.path.join(d.corpus_dir, d.label_dir, uid + ".lab")
+        wav_path = os.path.join(d.corpus_dir, d.wav_dir, uid + ".wav")
+        cached_lab = cache_dir and os.path.join(cache_dir, uid + ".lab.f32")
+        cached_cmp = cache_dir and os.path.join(cache_dir, uid + ".cmp.f32")
+        qdim = questions.dim + 9  # + frame features
+        if cache_dir and os.path.exists(cached_lab) and os.path.exists(cached_cmp):
+            lab = load_binary_file(cached_lab, qdim)
+            cmp_ = load_binary_file(cached_cmp, voc.feature_size)
+        else:
+            lab = binarize_label_file(lab_path, questions, shift_sec)
+            fs, wav = load_wav(wav_path)
+            if fs != cfg.vocoder.fs:
+                raise ValueError(
+                    f"{wav_path}: sample rate {fs} != configured {cfg.vocoder.fs}"
+                )
+            cmp_ = voc.analyze(wav)
+            if cache_dir:
+                save_binary_file(cached_lab, lab)
+                save_binary_file(cached_cmp, cmp_)
+        labs.append(lab)
+        cmps.append(cmp_)
+    print_log(f"composed {len(fileids)} utterances")
+
+    full = Dataset(labs=labs, cmps=cmps, ids=list(fileids))
+    tr_ids, va_ids, te_ids = split_fileids(list(fileids), d.num_valid, d.num_test)
+    train = full.subset(tr_ids)
+
+    in_stats = compute_minmax(train.labs)
+    keep = []
+    if "nm" in voc.streams:
+        keep.append(voc.streams["nm"])
+    out_stats = compute_meanstd(train.cmps, keep_streams=keep)
+
+    def norm(ds: Dataset) -> Dataset:
+        return Dataset(
+            labs=[in_stats.normalize(l).astype(np.float32) for l in ds.labs],
+            cmps=[out_stats.normalize(c).astype(np.float32) for c in ds.cmps],
+            ids=ds.ids,
+        )
+
+    return ComposedCorpus(
+        train=norm(train),
+        valid=norm(full.subset(va_ids)),
+        test=norm(full.subset(te_ids)),
+        in_stats=in_stats,
+        out_stats=out_stats,
+    )

@@ -1,0 +1,189 @@
+"""Deterministic synthetic demo corpus (labels + waveforms).
+
+Reference parity: percivaltts's demo/test fixture is a downloaded
+``slt_arctic_merlin_full`` subset (SURVEY.md §2 "Demo data fetch", §4
+"Fixtures"). This environment has no network, so the framework ships a
+*generated* miniature corpus instead: random phone sequences rendered as
+
+* HTS state-aligned full-context label files (5 states per phone),
+* waveforms from a tiny formant-style synthesizer (harmonic source with a
+  per-utterance f0 contour shaped by per-phone spectral envelopes; unvoiced
+  phones are shaped noise),
+
+so the label → acoustic mapping is genuinely learnable and every pipeline
+stage (question binarization, vocoder analysis, training, generation,
+objective measures) can run end-to-end, deterministically, offline.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from percivaltts_tpu.utils.logging import print_log
+
+# phone inventory: name -> (voiced, formant frequencies Hz, bandwidth scale)
+PHONES: Dict[str, Tuple[bool, Tuple[float, ...], float]] = {
+    "sil": (False, (), 0.0),
+    "aa": (True, (730.0, 1090.0, 2440.0), 1.0),
+    "iy": (True, (270.0, 2290.0, 3010.0), 1.0),
+    "uw": (True, (300.0, 870.0, 2240.0), 1.0),
+    "eh": (True, (530.0, 1840.0, 2480.0), 1.0),
+    "ow": (True, (570.0, 840.0, 2410.0), 1.0),
+    "m": (True, (250.0, 1000.0, 2200.0), 0.6),
+    "n": (True, (250.0, 1700.0, 2600.0), 0.6),
+    "s": (False, (5000.0,), 1.5),
+    "sh": (False, (3500.0,), 1.5),
+    "f": (False, (4500.0,), 1.0),
+    "t": (False, (4000.0,), 1.2),
+}
+
+HTK_PER_SEC = 10_000_000
+
+
+def _phone_envelope(freqs: np.ndarray, phone: str) -> np.ndarray:
+    """Smooth log-amplitude envelope over linear frequencies for a phone."""
+    voiced, formants, bw = PHONES[phone]
+    if phone == "sil":
+        return np.full_like(freqs, -12.0)
+    env = np.full_like(freqs, -6.0)
+    if voiced:
+        env = env - freqs / 3000.0  # spectral tilt
+        for i, fc in enumerate(formants):
+            width = 120.0 * (i + 1) * max(bw, 0.3)
+            env = env + 3.5 * np.exp(-0.5 * ((freqs - fc) / width) ** 2)
+    else:
+        fc = formants[0]
+        env = env - 2.0 + 2.5 * np.exp(-0.5 * ((freqs - fc) / (1200.0 * bw)) ** 2)
+        env = env - np.maximum(0.0, (1500.0 - freqs)) / 700.0  # highpass-ish
+    return env
+
+
+def _synthesize_utterance(
+    phones: Sequence[str],
+    durs_sec: Sequence[float],
+    fs: int,
+    f0_base: float,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    total = int(round(sum(durs_sec) * fs))
+    t = np.arange(total) / fs
+    # smooth f0 contour: declination + slow vibrato
+    f0 = f0_base * (1.0 - 0.15 * t / max(t[-1], 1e-6)) * (
+        1.0 + 0.02 * np.sin(2 * np.pi * 3.0 * t)
+    )
+    phase = 2.0 * np.pi * np.cumsum(f0) / fs
+
+    nfft = 512
+    freqs = np.fft.rfftfreq(nfft, 1.0 / fs)
+    out = np.zeros(total, dtype=np.float64)
+    pos = 0
+    for ph, dur in zip(phones, durs_sec):
+        n = int(round(dur * fs))
+        sl = slice(pos, min(pos + n, total))
+        seg_t = np.arange(sl.stop - sl.start)
+        env_db = _phone_envelope(freqs, ph)
+        amp = np.exp(env_db)
+        voiced = PHONES[ph][0]
+        if ph == "sil":
+            seg = 0.001 * rng.normal(size=sl.stop - sl.start)
+        elif voiced:
+            seg = np.zeros(sl.stop - sl.start)
+            f0m = float(np.mean(f0[sl]))
+            K = int(fs / 2 / f0m) - 1
+            for k in range(1, K + 1):
+                fk = k * f0m
+                a = np.interp(fk, freqs, amp)
+                seg = seg + a * np.cos(k * phase[sl])
+            seg = seg * 0.1
+        else:
+            white = rng.normal(size=sl.stop - sl.start)
+            W = np.fft.rfft(white, n=max(len(white), nfft))
+            wf = np.fft.rfftfreq(max(len(white), nfft), 1.0 / fs)
+            W = W * np.interp(wf, freqs, amp)
+            seg = np.fft.irfft(W)[: sl.stop - sl.start] * 0.35
+        # short crossfade ramps to avoid clicks
+        ramp = min(80, max(len(seg) // 8, 1))
+        win = np.ones(len(seg))
+        win[:ramp] = np.linspace(0, 1, ramp)
+        win[-ramp:] = np.linspace(1, 0, ramp)
+        out[sl] += seg * win
+        pos += n
+    peak = np.abs(out).max()
+    if peak > 0:
+        out = out / peak * 0.6
+    return out.astype(np.float32)
+
+
+def generate_demo_corpus(
+    root: str,
+    num_utterances: int = 20,
+    fs: int = 16000,
+    seed: int = 1234,
+    min_phones: int = 6,
+    max_phones: int = 12,
+) -> List[str]:
+    """Write a miniature corpus under ``root``: ``wav/``,
+    ``label_state_align/``, ``questions.hed``, ``fileids.scp``.
+    Returns the file-id list."""
+    from percivaltts_tpu.data.compose import save_wav
+
+    rng = np.random.default_rng(seed)
+    wav_dir = os.path.join(root, "wav")
+    lab_dir = os.path.join(root, "label_state_align")
+    os.makedirs(wav_dir, exist_ok=True)
+    os.makedirs(lab_dir, exist_ok=True)
+
+    names = [p for p in PHONES if p != "sil"]
+    # question set: identity of prev/current/next phone + positional CQS
+    with open(os.path.join(root, "questions.hed"), "w") as q:
+        for p in PHONES:
+            q.write(f'QS "C-{p}" {{*-{p}+*}}\n')
+            q.write(f'QS "L-{p}" {{*^{p}-*}}\n')
+            q.write(f'QS "R-{p}" {{*+{p}=*}}\n')
+        q.write('QS "C-Voiced" {'
+                + ",".join(f"*-{p}+*" for p, (v, _, _) in PHONES.items() if v)
+                + "}\n")
+        q.write('CQS "Pos_Phone_Fw" {@(\\d+)_}\n')
+
+    ids: List[str] = []
+    for u in range(num_utterances):
+        uid = f"demo{u:04d}"
+        ids.append(uid)
+        nph = int(rng.integers(min_phones, max_phones + 1))
+        seq = ["sil"] + [names[int(rng.integers(len(names)))] for _ in range(nph)] + ["sil"]
+        durs = [
+            float(rng.uniform(0.05, 0.12)) if p != "sil" else float(rng.uniform(0.08, 0.15))
+            for p in seq
+        ]
+        # quantize durations to whole 5 ms frames, 5 states per phone
+        shift = 0.005
+        durs = [max(round(d / shift), 5) * shift for d in durs]
+        f0_base = float(rng.uniform(110.0, 220.0))
+        wav = _synthesize_utterance(seq, durs, fs, f0_base, rng)
+        save_wav(os.path.join(wav_dir, uid + ".wav"), fs, wav)
+
+        lines = []
+        t_units = 0
+        for i, (ph, dur) in enumerate(zip(seq, durs)):
+            prev = seq[i - 1] if i > 0 else "x"
+            nxt = seq[i + 1] if i + 1 < len(seq) else "x"
+            ctx = f"x^{prev}-{ph}+{nxt}=x@{i}_{len(seq) - i}"
+            frames = int(round(dur / shift))
+            per_state = [frames // 5] * 5
+            for j in range(frames - sum(per_state)):
+                per_state[j % 5] += 1
+            for s, nfr in enumerate(per_state):
+                dur_units = nfr * int(shift * HTK_PER_SEC)
+                lines.append(f"{t_units} {t_units + dur_units} {ctx}[{s + 2}]")
+                t_units += dur_units
+        with open(os.path.join(lab_dir, uid + ".lab"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    with open(os.path.join(root, "fileids.scp"), "w") as f:
+        f.write("\n".join(ids) + "\n")
+    print_log(f"generated demo corpus: {num_utterances} utterances at {root}")
+    return ids

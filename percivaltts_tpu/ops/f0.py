@@ -1,0 +1,168 @@
+"""Batched YIN-style f0 estimation, fully on-device.
+
+Reference parity: the f0 track estimation inside percivaltts's vendored
+pulsemodel analysis (SURVEY.md §2 "PML vocoder"; §0 checklist flags that the
+reference may shell out to an external estimator binary — the rebuild
+provides an in-framework estimator regardless, per SURVEY.md §2 "Native
+components").
+
+Clean-room implementation of the YIN algorithm (de Cheveigné & Kawahara
+2002): difference function via FFT cross-correlation, cumulative-mean
+normalization, first-trough-below-threshold lag selection with parabolic
+refinement. TPU-first: all frames are processed as one batch — the
+difference function for every (frame, lag) pair comes from two batched
+rffts + elementwise work; lag selection is a masked argmax/argmin; no
+Python loops anywhere. Continuous-f0 interpolation through unvoiced regions
+runs as two ``lax.scan`` fills.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from percivaltts_tpu.ops.stft import frame_signal
+
+
+class F0Result(NamedTuple):
+    f0: jax.Array  # (frames,) continuous f0 in Hz (interpolated through unvoiced)
+    vuv: jax.Array  # (frames,) {0., 1.} voicing decision
+    raw_f0: jax.Array  # (frames,) f0 where voiced, 0 elsewhere
+    aperiodicity: jax.Array  # (frames,) CMND value at the chosen lag ∈ [0, ~1+]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fs", "hop", "f0_min", "f0_max", "threshold")
+)
+def estimate_f0(
+    x: jax.Array,
+    fs: int,
+    hop: int,
+    f0_min: float = 60.0,
+    f0_max: float = 400.0,
+    threshold: float = 0.15,
+) -> F0Result:
+    """YIN f0 track of a 1-D signal at frame rate ``fs/hop``."""
+    import math
+
+    tau_min = max(int(fs / f0_max), 2)
+    tau_max = int(math.ceil(fs / f0_min)) + 1
+    W = tau_max * 2  # integration window: two max-periods
+    frame_len = W + tau_max
+
+    frames = frame_signal(x, frame_len, hop)  # (nf, W + tau_max)
+    nf = frames.shape[0]
+
+    # difference function d(τ) = E0 + E(τ) − 2·corr(τ) for τ ∈ [0, tau_max)
+    n_fft = _next_pow2(frame_len + W)
+    head = frames[:, :W]
+    F_full = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    F_head = jnp.fft.rfft(head, n=n_fft, axis=-1)
+    corr = jnp.fft.irfft(F_full * jnp.conj(F_head), n=n_fft, axis=-1)[:, :tau_max]
+
+    csum = jnp.cumsum(jnp.square(frames), axis=-1)
+    csum = jnp.concatenate([jnp.zeros((nf, 1), csum.dtype), csum], axis=-1)
+    # E(τ) = Σ_{j=τ}^{τ+W-1} x², for all τ at once
+    tau = jnp.arange(tau_max)
+    E_tau = csum[:, tau + W] - csum[:, tau]
+    E0 = E_tau[:, :1]
+    d = jnp.maximum(E0 + E_tau - 2.0 * corr, 0.0)
+
+    # cumulative-mean-normalized difference d'(τ) = d(τ)·τ / Σ_{1..τ} d
+    cum = jnp.cumsum(d[:, 1:], axis=-1)
+    dn = jnp.concatenate(
+        [jnp.ones((nf, 1), d.dtype), d[:, 1:] * tau[1:] / jnp.maximum(cum, 1e-12)],
+        axis=-1,
+    )
+
+    # lag selection: first trough below threshold in [tau_min, tau_max),
+    # else the global minimum
+    valid = (tau >= tau_min) & (tau < tau_max - 1)
+    left = jnp.concatenate([dn[:, :1], dn[:, :-1]], axis=-1)
+    right = jnp.concatenate([dn[:, 1:], dn[:, -1:]], axis=-1)
+    trough = (dn < left) & (dn <= right) & valid[None, :]
+    below = trough & (dn < threshold)
+    has_below = below.any(axis=-1)
+    first_below = jnp.argmax(below, axis=-1)
+    global_min = jnp.argmin(jnp.where(valid[None, :], dn, jnp.inf), axis=-1)
+    tau_star = jnp.where(has_below, first_below, global_min)
+
+    # parabolic interpolation around the chosen lag
+    i = jnp.clip(tau_star, 1, tau_max - 2)
+    dm = jnp.take_along_axis(dn, (i - 1)[:, None], axis=-1)[:, 0]
+    d0 = jnp.take_along_axis(dn, i[:, None], axis=-1)[:, 0]
+    dp = jnp.take_along_axis(dn, (i + 1)[:, None], axis=-1)[:, 0]
+    denom = dm - 2.0 * d0 + dp
+    delta = jnp.where(
+        jnp.abs(denom) > 1e-12, 0.5 * (dm - dp) / jnp.where(denom == 0, 1.0, denom), 0.0
+    )
+    delta = jnp.clip(delta, -0.5, 0.5)
+    tau_refined = i.astype(jnp.float32) + delta
+
+    ap = d0
+    # voicing: trough quality + minimum energy
+    energy = E0[:, 0]
+    voiced = (ap < jnp.float32(max(threshold * 2.0, 0.3))) & (
+        energy > 1e-6 * jnp.maximum(jnp.max(energy), 1e-20)
+    )
+    f0_frame = fs / jnp.maximum(tau_refined, 1.0)
+    f0_frame = jnp.clip(f0_frame, f0_min, f0_max)
+    raw = jnp.where(voiced, f0_frame, 0.0)
+
+    f0_cont = _interp_through_unvoiced(raw, voiced)
+    return F0Result(
+        f0=f0_cont,
+        vuv=voiced.astype(jnp.float32),
+        raw_f0=raw,
+        aperiodicity=ap,
+    )
+
+
+def _interp_through_unvoiced(raw: jax.Array, voiced: jax.Array) -> jax.Array:
+    """Linear interpolation of f0 through unvoiced gaps, constant at edges.
+    Two scans: forward fill (value + index), backward fill, then blend by
+    distance. Fully jit-able, O(frames)."""
+    nf = raw.shape[0]
+    idx = jnp.arange(nf, dtype=jnp.float32)
+
+    def fwd(carry, t):
+        val, pos = carry
+        v, i, isv = t
+        val = jnp.where(isv, v, val)
+        pos = jnp.where(isv, i, pos)
+        return (val, pos), (val, pos)
+
+    (_, _), (fv, fp) = jax.lax.scan(
+        fwd, (jnp.float32(0.0), jnp.float32(-1.0)), (raw, idx, voiced)
+    )
+
+    def bwd(carry, t):
+        val, pos = carry
+        v, i, isv = t
+        val = jnp.where(isv, v, val)
+        pos = jnp.where(isv, i, pos)
+        return (val, pos), (val, pos)
+
+    (_, _), (bv, bp) = jax.lax.scan(
+        bwd,
+        (jnp.float32(0.0), jnp.float32(nf)),
+        (raw[::-1], idx[::-1], voiced[::-1]),
+    )
+    bv, bp = bv[::-1], bp[::-1]
+
+    have_f = fp >= 0
+    have_b = bp < nf
+    wf = jnp.where(have_f & have_b, (bp - idx) / jnp.maximum(bp - fp, 1.0), 0.0)
+    out = jnp.where(
+        have_f & have_b,
+        wf * fv + (1.0 - wf) * bv,
+        jnp.where(have_f, fv, jnp.where(have_b, bv, 100.0)),
+    )
+    return jnp.where(voiced, raw, out)

@@ -1,0 +1,103 @@
+"""Framing, windows, STFT / inverse-STFT (overlap-add).
+
+Reference parity: the framing/FFT DSP substrate of percivaltts's vendored
+``pulsemodel/sigproc`` utilities (SURVEY.md §2 "PML vocoder", L0 layer) —
+there it is per-frame Python/scipy loops over the corpus; here every
+utterance is processed as one batched tensor op: framing is a strided
+gather, the FFT is XLA's batched rfft, and synthesis overlap-add is a
+scatter-add — all jit-able and MXU/VPU-friendly with static shapes.
+
+A Pallas fused framing+window+scale kernel (``percivaltts_tpu.ops.pallas_kernels``)
+replaces the gather on TPU for the hot path; this module is the reference
+implementation and the numerical oracle for it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(length: int, dtype=jnp.float32) -> jax.Array:
+    """Periodic Hann window (matches scipy.signal.get_window('hann', n))."""
+    n = jnp.arange(length, dtype=dtype)
+    return 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n / length)
+
+
+def num_frames(num_samples: int, frame_length: int, hop: int) -> int:
+    """Frames for a center-padded analysis: one frame per hop covering the
+    whole signal."""
+    return int(np.ceil(num_samples / hop))
+
+
+def frame_signal(
+    x: jax.Array, frame_length: int, hop: int, pad: bool = True
+) -> jax.Array:
+    """Slice a 1-D signal into overlapping frames ``(num_frames, frame_length)``.
+
+    Frames are centered on t = i·hop (center-padding with zeros), matching
+    the convention that frame i describes the signal around sample i·hop.
+    """
+    n = x.shape[0]
+    if pad:
+        half = frame_length // 2
+        nf = num_frames(n, frame_length, hop)
+        x = jnp.pad(x, (half, frame_length))
+    else:
+        nf = max(1 + (n - frame_length) // hop, 0)
+    idx = (
+        jnp.arange(nf)[:, None] * hop + jnp.arange(frame_length)[None, :]
+    )
+    return x[idx]
+
+
+def stft(
+    x: jax.Array,
+    frame_length: int,
+    hop: int,
+    dftlen: Optional[int] = None,
+    window: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Short-time Fourier transform → ``(num_frames, dftlen//2 + 1)`` complex."""
+    dftlen = dftlen or frame_length
+    window = hann_window(frame_length) if window is None else window
+    frames = frame_signal(x, frame_length, hop) * window[None, :]
+    return jnp.fft.rfft(frames, n=dftlen, axis=-1)
+
+
+def overlap_add(frames: jax.Array, hop: int, out_length: int) -> jax.Array:
+    """Overlap-add synthesis: ``(num_frames, frame_length)`` → ``(out_length,)``.
+
+    Frame i is added centered at sample i·hop (inverse of ``frame_signal``'s
+    centering). Implemented as a scatter-add over a padded buffer — XLA
+    lowers this to an efficient vectorized scatter.
+    """
+    nf, fl = frames.shape
+    half = fl // 2
+    total = out_length + half + fl
+    buf = jnp.zeros((total,), frames.dtype)
+    idx = jnp.arange(nf)[:, None] * hop + jnp.arange(fl)[None, :]
+    buf = buf.at[idx.reshape(-1)].add(frames.reshape(-1))
+    return buf[half : half + out_length]
+
+
+def istft(
+    spec: jax.Array,
+    frame_length: int,
+    hop: int,
+    out_length: int,
+    window: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Inverse STFT with windowed overlap-add and COLA normalization."""
+    window = hann_window(frame_length) if window is None else window
+    frames = jnp.fft.irfft(spec, axis=-1)[:, :frame_length] * window[None, :]
+    y = overlap_add(frames, hop, out_length)
+    # normalize by the window-square overlap (COLA denominator)
+    wsq = overlap_add(
+        jnp.tile((window * window)[None, :], (spec.shape[0], 1)), hop, out_length
+    )
+    return y / jnp.maximum(wsq, 1e-8)

@@ -1,0 +1,85 @@
+"""Vocoder protocol + registry.
+
+Reference parity: the ``Vocoder`` abstract base of ``percivaltts/vocoders.py``
+(SURVEY.md §2 "Vocoder layer"): per-vocoder feature sizes, analysis of a
+waveform into per-frame features, synthesis of features back to a waveform,
+and helpers the objective measures need (f0/vuv extraction, cepstra for MCD).
+
+Analysis/synthesis cores are pure jitted JAX transforms (batched over
+frames); the class layer only handles numpy conversion and stream slicing.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple, Type
+
+import numpy as np
+
+from percivaltts_tpu.config import VocoderConfig
+
+
+class Vocoder:
+    """Base vocoder: maps waveforms ↔ per-frame feature matrices."""
+
+    kind: str = "base"
+
+    def __init__(self, cfg: VocoderConfig):
+        if cfg.kind != self.kind:
+            cfg = VocoderConfig(**{**cfg.__dict__, "kind": self.kind})
+        self.cfg = cfg
+
+    # -- schema ---------------------------------------------------------- #
+
+    @property
+    def feature_size(self) -> int:
+        return self.cfg.feature_size
+
+    @property
+    def streams(self) -> Dict[str, Tuple[int, int]]:
+        return self.cfg.streams
+
+    def stream(self, feats: np.ndarray, name: str) -> np.ndarray:
+        a, b = self.streams[name]
+        return feats[..., a:b]
+
+    # -- core ------------------------------------------------------------ #
+
+    def analyze(self, wav: np.ndarray) -> np.ndarray:
+        """waveform (n,) float32 in [-1, 1] → (frames, feature_size)."""
+        raise NotImplementedError
+
+    def synthesize(self, feats: np.ndarray) -> np.ndarray:
+        """(frames, feature_size) → waveform (frames · shift_samples,)."""
+        raise NotImplementedError
+
+    # -- measure hooks ---------------------------------------------------- #
+
+    def f0_vuv(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Extract (f0_hz, vuv) tracks for F0-RMSE / VUV-error measures."""
+        raise NotImplementedError
+
+    def cepstra(self, feats: np.ndarray) -> np.ndarray:
+        """Extract MCD-ready cepstra from the spectral stream."""
+        from percivaltts_tpu.eval.measures import log_spec_to_cepstra
+
+        key = "spec" if "spec" in self.streams else "mel"
+        return np.asarray(log_spec_to_cepstra(self.stream(feats, key)))
+
+
+_REGISTRY: Dict[str, Type[Vocoder]] = {}
+
+
+def register(cls: Type[Vocoder]) -> Type[Vocoder]:
+    _REGISTRY[cls.kind] = cls
+    return cls
+
+
+def get_vocoder(cfg: VocoderConfig) -> Vocoder:
+    """Factory by ``cfg.kind`` (reference: the vocoder choice in run.py)."""
+    try:
+        cls = _REGISTRY[cfg.kind]
+    except KeyError:
+        raise ValueError(
+            f"unknown vocoder kind {cfg.kind!r}; known: {sorted(_REGISTRY)}"
+        ) from None
+    return cls(cfg)

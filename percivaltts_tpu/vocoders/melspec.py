@@ -1,0 +1,112 @@
+"""Mel-spectrogram target variant (BASELINE config 4).
+
+Reference parity: percivaltts supports swapping the acoustic target
+representation; the mel-spectrogram variant is BASELINE.json config 4
+("mel-spectrogram target variant with on-device vocoder feature
+extraction"). Analysis is one batched STFT + mel matmul + log — fully
+on-device; synthesis is Griffin-Lim phase reconstruction from the
+pseudo-inverted mel filterbank (a ``lax.fori_loop`` of STFT/ISTFT pairs,
+jit-compiled, static shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from percivaltts_tpu.ops.stft import hann_window, istft, stft
+from percivaltts_tpu.ops.warp import mel_pinv, mel_weights
+from percivaltts_tpu.vocoders.base import Vocoder, register
+from percivaltts_tpu.vocoders.pml import FRAME_MULTIPLE
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fs", "hop", "frame_len", "dftlen", "mel_size")
+)
+def mel_analyze_core(wav, fs, hop, frame_len, dftlen, mel_size):
+    window = hann_window(frame_len)
+    mag = jnp.abs(stft(wav, frame_len, hop, dftlen, window))
+    W = jnp.asarray(mel_weights(mel_size, dftlen, fs))
+    mel = mag @ W
+    return jnp.log(jnp.maximum(mel, 1e-8))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "hop", "frame_len", "dftlen", "mel_size", "iterations"),
+)
+def mel_synthesize_core(
+    logmel, fs, hop, frame_len, dftlen, mel_size, iterations: int = 64, seed: int = 0
+):
+    """Fast Griffin–Lim (momentum 0.99) reconstruction from log-mel
+    magnitudes, zero-phase init. Converges to ≈4 dB mel-MCD copy-synthesis
+    at 5 ms hop — the GL floor; use a neural vocoder downstream when higher
+    fidelity is needed."""
+    nf = logmel.shape[0]
+    n = nf * hop
+    Winv = jnp.asarray(mel_pinv(mel_size, dftlen, fs))  # (mels, bins)
+    mag = jnp.maximum(jnp.exp(logmel) @ Winv, 1e-8)  # (nf, bins)
+
+    window = hann_window(frame_len)
+    momentum = 0.99
+    spec0 = mag.astype(jnp.complex64)
+
+    def body(_, carry):
+        spec, prev = carry
+        x = istft(spec, frame_len, hop, n, window)
+        re = stft(x, frame_len, hop, dftlen, window)[:nf]
+        acc = re + momentum * (re - prev)
+        ph = acc / jnp.maximum(jnp.abs(acc), 1e-12)
+        return mag * ph, re
+
+    spec, _ = jax.lax.fori_loop(0, iterations, body, (spec0, spec0))
+    return istft(spec, frame_len, hop, n, window)
+
+
+@register
+class MelSpecVocoder(Vocoder):
+    kind = "melspec"
+
+    def analyze(self, wav: np.ndarray) -> np.ndarray:
+        c = self.cfg
+        hop = c.shift_samples
+        nf = int(np.ceil(len(wav) / hop))
+        nf_pad = -(-nf // FRAME_MULTIPLE) * FRAME_MULTIPLE
+        wav_p = np.zeros(nf_pad * hop, dtype=np.float32)
+        wav_p[: len(wav)] = np.asarray(wav, np.float32)
+        mel = mel_analyze_core(
+            jnp.asarray(wav_p),
+            fs=c.fs,
+            hop=hop,
+            frame_len=c.frame_samples,
+            dftlen=c.dftlen,
+            mel_size=c.mel_size,
+        )
+        return np.asarray(mel[:nf])
+
+    def synthesize(self, feats: np.ndarray, seed: int = 0) -> np.ndarray:
+        c = self.cfg
+        feats = np.asarray(feats, np.float32)
+        nf = feats.shape[0]
+        nf_pad = -(-nf // FRAME_MULTIPLE) * FRAME_MULTIPLE
+        fp = np.full((nf_pad, feats.shape[1]), -18.0, np.float32)
+        fp[:nf] = feats
+        wav = mel_synthesize_core(
+            jnp.asarray(fp),
+            fs=c.fs,
+            hop=c.shift_samples,
+            frame_len=c.frame_samples,
+            dftlen=c.dftlen,
+            mel_size=c.mel_size,
+        )
+        return np.asarray(wav[: nf * c.shift_samples])
+
+    def f0_vuv(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        raise NotImplementedError(
+            "mel-spectrogram features carry no explicit f0/vuv; use MCD on "
+            "the mel cepstra for this vocoder"
+        )

@@ -1,0 +1,273 @@
+"""PML-style vocoder: f0 + warped log spectral envelope + warped noise mask.
+
+Reference parity: percivaltts's default vocoder ``VocoderPML``
+(``percivaltts/vocoders.py`` + vendored ``external/pulsemodel/**``;
+SURVEY.md §2): per-frame features are
+
+* ``lf0``  — log of the continuous f0 track (interpolated through unvoiced),
+* ``spec`` — frequency-warped log spectral amplitude envelope
+  (``spec_size`` bands, demo 65 @ 16 kHz),
+* ``nm``   — frequency-warped noise mask ∈ [0, 1] (``nm_size`` bands, demo
+  33): 0 = deterministic/harmonic band, 1 = noise band. Unvoiced frames are
+  all-noise (nm = 1), which also encodes the voicing decision.
+
+Clean-room TPU-first rebuild (no reference code available — SURVEY.md §0):
+the pulse-model *behavior* (harmonic + shaped-noise decomposition driven by
+a per-band noise mask) is re-derived as batched spectral ops:
+
+* analysis: one YIN pass (ops.f0), one batched STFT, true-envelope smoothing
+  (ops.envelope), warping as constant matmuls (ops.warp), and the per-band
+  harmonicity from windowed-autocorrelation-at-the-pitch-period — evaluated
+  directly from the power spectrum as two matmuls (no per-band IFFTs),
+  window-bias corrected.
+* synthesis: harmonic-plus-noise — a bank of harmonics of the continuous f0
+  with amplitudes from the envelope gated by (1 − nm), plus white noise
+  shaped by envelope·nm in the STFT domain and overlap-added.
+
+Everything is jit-compiled with static shapes; utterances are padded to a
+frame multiple so the jit variant count stays bounded.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from percivaltts_tpu.config import VocoderConfig
+from percivaltts_tpu.ops.envelope import spectral_envelope
+from percivaltts_tpu.ops.f0 import estimate_f0
+from percivaltts_tpu.ops.stft import hann_window, istft, stft
+from percivaltts_tpu.ops.warp import unwarp_matrix, warp_matrix
+from percivaltts_tpu.vocoders.base import Vocoder, register
+
+# utterances are padded to a multiple of this many frames before the jitted
+# cores run (bounded compile-variant count)
+FRAME_MULTIPLE = 128
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fs",
+        "hop",
+        "frame_len",
+        "dftlen",
+        "spec_size",
+        "nm_size",
+        "f0_min",
+        "f0_max",
+    ),
+)
+def pml_analyze_core(
+    wav: jax.Array,
+    fs: int,
+    hop: int,
+    frame_len: int,
+    dftlen: int,
+    spec_size: int,
+    nm_size: int,
+    f0_min: float,
+    f0_max: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """waveform → ((frames, 1+spec+nm) features, (frames,) vuv)."""
+    res = estimate_f0(wav, fs, hop, f0_min, f0_max)
+    f0, vuv = res.f0, res.vuv
+
+    window = hann_window(frame_len)
+    spec = stft(wav, frame_len, hop, dftlen, window)  # (nf, bins)
+    mag = jnp.abs(spec)
+    logmag = jnp.log(jnp.maximum(mag, 1e-8))
+    env = spectral_envelope(logmag, f0, fs, dftlen)
+
+    W_spec = jnp.asarray(warp_matrix(spec_size, dftlen, fs))
+    spec_w = env @ W_spec  # (nf, spec_size)
+
+    # per-band harmonicity: r(τ0)/r(0) from the power spectrum, both as
+    # band-weighted sums; bias-corrected by the window autocorrelation
+    P = jnp.square(mag)
+    W_nm = jnp.asarray(warp_matrix(nm_size, dftlen, fs))
+    tau0 = fs / jnp.maximum(f0, 1.0)  # (nf,) samples
+    bins = P.shape[-1]
+    binidx = jnp.arange(bins, dtype=jnp.float32)
+    cosv = jnp.cos(2.0 * jnp.pi * binidx[None, :] * tau0[:, None] / dftlen)
+    r0 = jnp.maximum(P @ W_nm, 1e-12)
+    rt = (P * cosv) @ W_nm
+
+    # window autocorrelation (time domain, via FFT of the window's power
+    # spectrum at full resolution) evaluated at the per-frame real lag τ0.
+    # For a pure harmonic, r(τ0)/r(0) of the *windowed* frame equals exactly
+    # this curve — dividing by it unbiases the harmonicity.
+    n2 = 1 << (2 * frame_len - 1).bit_length()
+    wac = jnp.fft.irfft(jnp.square(jnp.abs(jnp.fft.rfft(window, n=n2))), n=n2)
+    bias_curve = wac[:frame_len] / jnp.maximum(wac[0], 1e-12)
+    ti = jnp.clip(tau0, 0.0, frame_len - 2.0)
+    i0 = jnp.floor(ti).astype(jnp.int32)
+    fr = ti - i0.astype(jnp.float32)
+    bias = bias_curve[i0] * (1.0 - fr) + bias_curve[i0 + 1] * fr
+    bias = jnp.clip(bias, 0.05, 1.0)  # (nf,)
+
+    harm = jnp.clip((rt / r0) / bias[:, None], 0.0, 1.0)
+    nm = 1.0 - harm
+    nm = jnp.where(vuv[:, None] > 0.5, nm, 1.0)
+
+    lf0 = jnp.log(jnp.maximum(f0, 1.0))
+    feats = jnp.concatenate([lf0[:, None], spec_w, nm], axis=-1)
+    return feats, vuv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fs",
+        "hop",
+        "frame_len",
+        "dftlen",
+        "f0_min",
+        "f0_max",
+        "seed",
+    ),
+)
+def pml_synthesize_core(
+    lf0: jax.Array,
+    spec_w: jax.Array,
+    nm_w: jax.Array,
+    fs: int,
+    hop: int,
+    frame_len: int,
+    dftlen: int,
+    f0_min: float,
+    f0_max: float,
+    seed: int = 0,
+) -> jax.Array:
+    """(frames,) lf0 + (frames, S) warped log env + (frames, M) warped noise
+    mask → waveform (frames · hop,). Harmonic-plus-noise reconstruction."""
+    nf = lf0.shape[0]
+    n = nf * hop
+    spec_size = spec_w.shape[-1]
+    nm_size = nm_w.shape[-1]
+    bins = dftlen // 2 + 1
+
+    f0 = jnp.clip(jnp.exp(lf0), f0_min, f0_max * 1.5)
+    U_spec = jnp.asarray(unwarp_matrix(spec_size, dftlen, fs))
+    U_nm = jnp.asarray(unwarp_matrix(nm_size, dftlen, fs))
+    logenv = spec_w @ U_spec  # (nf, bins)
+    A = jnp.exp(logenv)
+    nm_bins = jnp.clip(nm_w @ U_nm, 0.0, 1.0)
+
+    window = hann_window(frame_len)
+    wsum = jnp.sum(window)
+
+    # ---- harmonic part ------------------------------------------------- #
+    K = int(fs / 2.0 / f0_min)  # static harmonic count
+    k = jnp.arange(1, K + 1, dtype=jnp.float32)
+    binpos = f0[:, None] * k[None, :] * dftlen / fs  # (nf, K)
+    valid = binpos < (dftlen / 2.0 - 1.0)
+    bp = jnp.clip(binpos, 0.0, bins - 2.0)
+    b0 = jnp.floor(bp).astype(jnp.int32)
+    frac = bp - b0.astype(jnp.float32)
+
+    def gather_bins(M):
+        lo = jnp.take_along_axis(M, b0, axis=-1)
+        hi = jnp.take_along_axis(M, b0 + 1, axis=-1)
+        return lo * (1.0 - frac) + hi * frac
+
+    A_k = gather_bins(A)  # (nf, K)
+    nm_k = gather_bins(nm_bins)
+    amp_f = (2.0 / wsum) * A_k * jnp.sqrt(jnp.clip(1.0 - nm_k, 0.0, 1.0))
+    amp_f = jnp.where(valid, amp_f, 0.0)
+
+    # per-sample phase from the continuous f0 (linear interp per sample)
+    t = jnp.arange(n, dtype=jnp.float32)
+    frame_pos = t / hop
+    i0 = jnp.clip(jnp.floor(frame_pos).astype(jnp.int32), 0, nf - 2)
+    w1 = frame_pos - i0.astype(jnp.float32)
+    f0_s = f0[i0] * (1.0 - w1) + f0[i0 + 1] * w1
+    phase = 2.0 * jnp.pi * jnp.cumsum(f0_s) / fs  # (n,)
+
+    # per-sample harmonic amplitudes (linear interp over frames), then sum
+    amp_lo = amp_f[i0]  # (n, K)
+    amp_hi = amp_f[i0 + 1]
+    amp_s = amp_lo * (1.0 - w1)[:, None] + amp_hi * w1[:, None]
+    harm = jnp.sum(amp_s * jnp.cos(phase[:, None] * k[None, :]), axis=-1)
+
+    # ---- noise part ----------------------------------------------------- #
+    key = jax.random.key(seed)
+    noise = jax.random.normal(key, (n,), jnp.float32)
+    Nspec = stft(noise, frame_len, hop, dftlen, window)[:nf]
+    # E|N(f)|² = σ²·Σw² for unit-variance noise through the window, so
+    # dividing by √(Σw²) normalizes the noise STFT magnitude to ~1; scaling
+    # by A·√nm then puts the shaped noise in the same STFT-magnitude
+    # convention the envelope was measured in, and istft inverts it.
+    norm = jnp.sqrt(jnp.sum(jnp.square(window)))
+    shaped = Nspec / norm * (A * jnp.sqrt(nm_bins))
+    noise_wav = istft(shaped, frame_len, hop, n, window)
+
+    return harm + noise_wav
+
+
+@register
+class PMLVocoder(Vocoder):
+    """PML-equivalent vocoder (see module docstring)."""
+
+    kind = "pml"
+
+    def _pad_wav(self, wav: np.ndarray) -> Tuple[np.ndarray, int]:
+        hop = self.cfg.shift_samples
+        nf = int(np.ceil(len(wav) / hop))
+        nf_pad = -(-nf // FRAME_MULTIPLE) * FRAME_MULTIPLE
+        wav_p = np.zeros(nf_pad * hop, dtype=np.float32)
+        wav_p[: len(wav)] = wav
+        return wav_p, nf
+
+    def analyze(self, wav: np.ndarray) -> np.ndarray:
+        c = self.cfg
+        wav_p, nf = self._pad_wav(np.asarray(wav, np.float32))
+        feats, _ = pml_analyze_core(
+            jnp.asarray(wav_p),
+            fs=c.fs,
+            hop=c.shift_samples,
+            frame_len=c.frame_samples,
+            dftlen=c.dftlen,
+            spec_size=c.spec_size,
+            nm_size=c.nm_size,
+            f0_min=c.f0_min,
+            f0_max=c.f0_max,
+        )
+        return np.asarray(feats[:nf])
+
+    def synthesize(self, feats: np.ndarray, seed: int = 0) -> np.ndarray:
+        c = self.cfg
+        feats = np.asarray(feats, np.float32)
+        nf = feats.shape[0]
+        nf_pad = -(-nf // FRAME_MULTIPLE) * FRAME_MULTIPLE
+        fp = np.zeros((nf_pad, feats.shape[1]), np.float32)
+        fp[:nf] = feats
+        fp[nf:, 0] = feats[-1, 0] if nf else np.log(100.0)
+        fp[nf:, 1 + c.spec_size :] = 1.0  # pure noise, zero envelope tail
+        fp[nf:, 1 : 1 + c.spec_size] = -18.0
+        wav = pml_synthesize_core(
+            jnp.asarray(fp[:, 0]),
+            jnp.asarray(fp[:, 1 : 1 + c.spec_size]),
+            jnp.asarray(fp[:, 1 + c.spec_size :]),
+            fs=c.fs,
+            hop=c.shift_samples,
+            frame_len=c.frame_samples,
+            dftlen=c.dftlen,
+            f0_min=c.f0_min,
+            f0_max=c.f0_max,
+            seed=seed,
+        )
+        return np.asarray(wav[: nf * c.shift_samples])
+
+    def f0_vuv(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """f0 from the lf0 stream; voicing from the low-band noise mask
+        (voiced ⇔ the lower nm bands are mostly deterministic)."""
+        lf0 = self.stream(feats, "f0")[..., 0]
+        nm = self.stream(feats, "nm")
+        low = nm[..., : max(nm.shape[-1] // 4, 1)]
+        vuv = (low.mean(axis=-1) < 0.5).astype(np.float32)
+        return np.exp(lf0), vuv

@@ -1,0 +1,92 @@
+"""Smoke/integration tier (SURVEY.md §4): the whole pipeline — demo corpus →
+compose → train a few epochs → generate + objective measures — on a
+miniature corpus, asserting completion, finite losses, and produced files."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from percivaltts_tpu.cli import main as cli_main
+from percivaltts_tpu.config import Configuration
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("demo_corpus"))
+    rc = cli_main(["demo", "--out", root, "--num", "12", "--seed", "7"])
+    assert rc == 0
+    return root
+
+
+def _write_cfg(corpus_root, workdir, **overrides):
+    with open(os.path.join(corpus_root, "config.json")) as f:
+        d = json.load(f)
+    d["workdir"] = workdir
+    d["data"].update(
+        batch_size=2, bucket_bounds=[256], num_valid=2, num_test=2
+    )
+    d["vocoder"].update(spec_size=33, nm_size=17)
+    d["model"].update(
+        generator="fc", hidden_size=32, num_layers=2, compute_dtype="float32"
+    )
+    d["train"].update(trainer="lse", epochs=3, lr_gen=2e-3, checkpoint_every=1)
+    for k, v in overrides.items():
+        d[k].update(v) if isinstance(v, dict) else d.__setitem__(k, v)
+    path = os.path.join(workdir, "cfg.json")
+    os.makedirs(workdir, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(d, f)
+    return path
+
+
+def test_demo_corpus_files(corpus):
+    ids = open(os.path.join(corpus, "fileids.scp")).read().split()
+    assert len(ids) == 12
+    assert os.path.exists(os.path.join(corpus, "wav", ids[0] + ".wav"))
+    assert os.path.exists(os.path.join(corpus, "label_state_align", ids[0] + ".lab"))
+    assert os.path.exists(os.path.join(corpus, "questions.hed"))
+
+
+def test_compose_train_generate(corpus, tmp_path):
+    workdir = str(tmp_path / "exp")
+    cfg_path = _write_cfg(corpus, workdir)
+
+    assert cli_main(["compose", "--config", cfg_path]) == 0
+    assert os.path.exists(os.path.join(workdir, "in_stats.npz"))
+    assert os.path.exists(os.path.join(workdir, "out_stats.npz"))
+    # feature cache populated
+    cache = os.path.join(workdir, "feature_cache")
+    f32 = [f for f in os.listdir(cache) if f.endswith(".f32")]
+    assert len(f32) == 24  # 12 × (lab + cmp)
+
+    assert cli_main(["train", "--config", cfg_path]) == 0
+    metrics = [
+        json.loads(l)
+        for l in open(os.path.join(workdir, "metrics.jsonl"))
+        if l.strip()
+    ]
+    epochs = [m for m in metrics if m["kind"] == "epoch"]
+    assert len(epochs) == 3
+    assert all(np.isfinite(m["loss"]) for m in epochs)
+    assert epochs[-1]["loss"] < epochs[0]["loss"]
+    assert all(np.isfinite(m["valid"]) for m in epochs)
+
+    assert cli_main(["generate", "--config", cfg_path]) == 0
+    with open(os.path.join(workdir, "measures.json")) as f:
+        measures = json.load(f)
+    assert np.isfinite(measures["mcd_db"]) and measures["mcd_db"] > 0
+    assert "f0_rmse_hz" in measures and np.isfinite(measures["f0_rmse_hz"])
+    assert "vuv_error_pct" in measures
+    gen_dir = os.path.join(workdir, "generated")
+    wavs = [f for f in os.listdir(gen_dir) if f.endswith(".wav")]
+    assert len(wavs) == 2  # num_test
+
+
+def test_train_resume_cli(corpus, tmp_path):
+    workdir = str(tmp_path / "exp2")
+    cfg_path = _write_cfg(corpus, workdir)
+    assert cli_main(["train", "--config", cfg_path]) == 0
+    # resuming at max epochs is a no-op but must succeed
+    assert cli_main(["train", "--config", cfg_path, "--resume"]) == 0

@@ -1,0 +1,130 @@
+import numpy as np
+import pytest
+import scipy.signal
+
+from percivaltts_tpu.ops import (
+    estimate_f0,
+    frame_signal,
+    hann_window,
+    istft,
+    mel_weights,
+    overlap_add,
+    spectral_envelope,
+    stft,
+    unwarp_matrix,
+    warp_matrix,
+)
+
+FS = 16000
+
+
+def _harmonic_signal(f0=120.0, dur=0.5, fs=FS, nharm=10, seed=0):
+    t = np.arange(int(dur * fs)) / fs
+    x = np.zeros_like(t)
+    rng = np.random.default_rng(seed)
+    for k in range(1, nharm + 1):
+        x += (1.0 / k) * np.sin(2 * np.pi * k * f0 * t + rng.uniform(0, 2 * np.pi))
+    return (x / np.abs(x).max() * 0.8).astype(np.float32)
+
+
+def test_hann_matches_scipy():
+    w = np.asarray(hann_window(256))
+    ref = scipy.signal.get_window("hann", 256, fftbins=True)
+    np.testing.assert_allclose(w, ref, atol=1e-6)
+
+
+def test_frame_overlap_add_roundtrip():
+    # frame + OLA with a rectangular window sums each sample frame_len/hop times
+    x = np.random.default_rng(0).normal(size=1600).astype(np.float32)
+    fl, hop = 320, 80
+    frames = np.asarray(frame_signal(x, fl, hop))
+    assert frames.shape == (20, fl)
+    y = np.asarray(overlap_add(frames, hop, len(x)))
+    # edges accumulate fewer overlaps; check the interior
+    np.testing.assert_allclose(
+        y[fl:-fl], x[fl:-fl] * (fl // hop), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_stft_istft_roundtrip():
+    x = np.random.default_rng(1).normal(size=4000).astype(np.float32)
+    fl, hop, dftlen = 400, 80, 512
+    spec = stft(x, fl, hop, dftlen)
+    assert spec.shape == (50, dftlen // 2 + 1)
+    y = np.asarray(istft(spec, fl, hop, len(x)))
+    # edges are imperfect; compare the interior
+    np.testing.assert_allclose(y[fl:-fl], x[fl:-fl], atol=5e-3)
+
+
+def test_warp_unwarp_smooth_spectrum():
+    """Warping then unwarping a smooth spectrum is near-identity."""
+    dftlen, bands = 1024, 65
+    bins = dftlen // 2 + 1
+    freqs = np.arange(bins) * FS / dftlen
+    smooth = (np.exp(-((freqs - 1500.0) ** 2) / (2 * 900.0**2))).astype(np.float32)
+    W = warp_matrix(bands, dftlen, FS)
+    U = unwarp_matrix(bands, dftlen, FS)
+    assert W.shape == (bins, bands) and U.shape == (bands, bins)
+    np.testing.assert_allclose(W.sum(axis=0), 1.0, atol=1e-5)  # unit-mass bands
+    back = smooth @ W @ U
+    err = np.abs(back - smooth).max()
+    assert err < 0.05, err
+
+
+def test_mel_weights_shape_and_coverage():
+    W = mel_weights(80, 1024, FS)
+    assert W.shape == (513, 80)
+    # every interior bin is covered by some filter
+    assert (W[5:-5].sum(axis=1) > 0).all()
+
+
+@pytest.mark.parametrize("f0_true", [100.0, 220.0, 330.0])
+def test_f0_estimation_harmonic(f0_true):
+    x = _harmonic_signal(f0=f0_true)
+    res = estimate_f0(x, FS, hop=80)
+    v = np.asarray(res.vuv)
+    f = np.asarray(res.f0)
+    nf = len(f)
+    core = slice(nf // 4, 3 * nf // 4)
+    assert v[core].mean() > 0.9, "harmonic signal should be voiced"
+    rel_err = np.abs(f[core][v[core] > 0.5] - f0_true) / f0_true
+    assert np.median(rel_err) < 0.02, (f0_true, np.median(rel_err))
+
+
+def test_f0_unvoiced_noise():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=8000).astype(np.float32) * 0.1
+    res = estimate_f0(x, FS, hop=80)
+    assert np.asarray(res.vuv).mean() < 0.35
+
+
+def test_f0_continuous_through_gap():
+    x1 = _harmonic_signal(f0=150.0, dur=0.25)
+    gap = np.zeros(2000, dtype=np.float32)
+    x2 = _harmonic_signal(f0=150.0, dur=0.25, seed=5)
+    x = np.concatenate([x1, gap, x2])
+    res = estimate_f0(x, FS, hop=80)
+    f = np.asarray(res.f0)
+    assert np.all(f > 50.0), "continuous f0 must have no zeros"
+    # interpolated region stays near 150 Hz
+    assert abs(np.median(f) - 150.0) / 150.0 < 0.05
+
+
+def test_spectral_envelope_removes_harmonics():
+    f0 = 140.0
+    x = _harmonic_signal(f0=f0, dur=0.4)
+    dftlen, fl, hop = 1024, 400, 80
+    spec = np.abs(np.asarray(stft(x, fl, hop, dftlen))) + 1e-8
+    logmag = np.log(spec).astype(np.float32)
+    nf = logmag.shape[0]
+    f0s = np.full((nf,), f0, dtype=np.float32)
+    env = np.asarray(spectral_envelope(logmag, f0s, FS, dftlen))
+    assert env.shape == logmag.shape
+    # envelope must be smoother than the raw log spectrum: total variation
+    tv_raw = np.abs(np.diff(logmag, axis=1)).mean()
+    tv_env = np.abs(np.diff(env, axis=1)).mean()
+    assert tv_env < tv_raw * 0.5
+    # envelope should sit at or above the harmonic peaks (true envelope)
+    mid = nf // 2
+    peak_bin = int(round(f0 / FS * dftlen))
+    assert env[mid, peak_bin] > logmag[mid, peak_bin] - 1.5

@@ -1,0 +1,96 @@
+import numpy as np
+import pytest
+
+from percivaltts_tpu.config import VocoderConfig
+from percivaltts_tpu.vocoders import PMLVocoder, get_vocoder
+
+FS = 16000
+CFG = VocoderConfig(kind="pml", fs=FS, spec_size=65, nm_size=33)
+
+
+def _voiced_signal(f0=140.0, dur=0.6, fs=FS, seed=0):
+    """Harmonic source with formant-ish spectral tilt + a little noise."""
+    t = np.arange(int(dur * fs)) / fs
+    x = np.zeros_like(t)
+    rng = np.random.default_rng(seed)
+    for k in range(1, int(fs / 2 / f0)):
+        fk = k * f0
+        amp = 1.0 / (1.0 + (fk / 800.0) ** 2)  # lowpass envelope
+        x += amp * np.sin(2 * np.pi * fk * t + rng.uniform(0, 2 * np.pi))
+    x += 0.01 * rng.normal(size=len(t))
+    return (x / np.abs(x).max() * 0.7).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def voc():
+    return get_vocoder(CFG)
+
+
+def test_registry(voc):
+    assert isinstance(voc, PMLVocoder)
+    with pytest.raises(ValueError):
+        get_vocoder(VocoderConfig(kind="nope"))
+
+
+def test_analyze_schema(voc):
+    x = _voiced_signal()
+    feats = voc.analyze(x)
+    nf = int(np.ceil(len(x) / CFG.shift_samples))
+    assert feats.shape == (nf, CFG.feature_size)
+    assert np.isfinite(feats).all()
+    f0, vuv = voc.f0_vuv(feats)
+    core = slice(nf // 4, 3 * nf // 4)
+    assert vuv[core].mean() > 0.8
+    med = np.median(f0[core][vuv[core] > 0.5])
+    assert abs(med - 140.0) / 140.0 < 0.03, med
+    # voiced low bands mostly harmonic: nm small
+    nm = voc.stream(feats, "nm")
+    assert nm[core, :8][vuv[core] > 0.5].mean() < 0.35
+
+
+def test_analyze_noise_is_unvoiced(voc):
+    rng = np.random.default_rng(1)
+    x = (rng.normal(size=FS // 2) * 0.2).astype(np.float32)
+    feats = voc.analyze(x)
+    _, vuv = voc.f0_vuv(feats)
+    assert vuv.mean() < 0.4
+    nm = voc.stream(feats, "nm")
+    assert nm.mean() > 0.6
+
+
+def test_synthesize_shape_and_energy(voc):
+    x = _voiced_signal()
+    feats = voc.analyze(x)
+    y = voc.synthesize(feats)
+    assert y.shape == (feats.shape[0] * CFG.shift_samples,)
+    assert np.isfinite(y).all()
+    # energy in the same ballpark as the original (within 6 dB)
+    n = min(len(x), len(y))
+    ex = np.mean(x[:n] ** 2)
+    ey = np.mean(y[:n] ** 2)
+    assert 0.25 < ey / ex < 4.0, (ex, ey)
+
+
+def test_analysis_synthesis_roundtrip_spectral(voc):
+    """Re-analyzing the synthesized waveform must give features close to the
+    originals — the self-consistency (copy-synthesis) gate."""
+    x = _voiced_signal()
+    feats = voc.analyze(x)
+    y = voc.synthesize(feats)
+    feats2 = voc.analyze(y)
+    n = min(feats.shape[0], feats2.shape[0])
+    core = slice(n // 4, 3 * n // 4)
+
+    # f0 parity
+    f0a, va = voc.f0_vuv(feats[:n])
+    f0b, vb = voc.f0_vuv(feats2[:n])
+    both = (va > 0.5) & (vb > 0.5)
+    assert both[core].mean() > 0.7
+    rel = np.abs(f0a - f0b)[core][both[core]] / f0a[core][both[core]]
+    assert np.median(rel) < 0.03
+
+    # warped-log-envelope distance (dB RMS over core voiced frames)
+    sa = voc.stream(feats[:n], "spec")[core]
+    sb = voc.stream(feats2[:n], "spec")[core]
+    rms_db = np.sqrt(np.mean((20.0 / np.log(10.0) * (sa - sb)) ** 2))
+    assert rms_db < 6.0, rms_db
