@@ -114,6 +114,13 @@ class ModelConfig:
     hidden_size: int = 256
     num_layers: int = 3
     # CNN generator
+    # conv_style "time1d": MXU-aligned 1-D convs over time at `hidden_size`
+    # channels with full-frequency mixing through dense projections (TPU
+    # fast path). "2d": the reference-faithful frames×frequency image convs
+    # at `cnn_channels` — same inductive bias as percivaltts's models_cnn,
+    # ~6× slower on TPU (32-channel 5×5 convs use a quarter of the MXU
+    # lanes and force layout transposes).
+    conv_style: str = "time1d"
     cnn_channels: int = 32
     cnn_kernel_freq: int = 5
     cnn_kernel_time: int = 5

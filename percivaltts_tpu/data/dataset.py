@@ -155,24 +155,32 @@ class Dataset:
         if shuffle:
             rng.shuffle(pending)  # type: ignore[arg-type]
 
-        ldim, cdim = self.label_dim, self.feat_dim
+        from percivaltts_tpu import native
+
         for bound, chunk in pending:
-            lab = np.zeros((batch_size, bound, ldim), dtype=np.float32)
-            cmp_ = np.zeros((batch_size, bound, cdim), dtype=np.float32)
-            mask = np.zeros((batch_size, bound), dtype=np.float32)
-            lengths = np.zeros((batch_size,), dtype=np.int32)
-            for j, i in enumerate(chunk):
-                l, c = self.labs[i], self.cmps[i]
-                n = l.shape[0]
+            offsets, lengths = [], []
+            for i in chunk:
+                n = self.labs[i].shape[0]
                 if n > bound:
-                    off = int(rng.integers(0, n - bound + 1))
-                    l, c = l[off : off + bound], c[off : off + bound]
-                    n = bound
-                lab[j, :n] = l
-                cmp_[j, :n] = c
-                mask[j, :n] = 1.0
-                lengths[j] = n
-            yield {"lab": lab, "cmp": cmp_, "mask": mask, "lengths": lengths}
+                    offsets.append(int(rng.integers(0, n - bound + 1)))
+                    lengths.append(bound)
+                else:
+                    offsets.append(0)
+                    lengths.append(n)
+            # batch assembly (copy + pad + mask) runs in the native C++ data
+            # plane when built; same offsets crop lab and cmp consistently
+            lab, mask = native.assemble_batch(
+                [self.labs[i] for i in chunk], offsets, lengths, bound
+            )
+            cmp_, _ = native.assemble_batch(
+                [self.cmps[i] for i in chunk], offsets, lengths, bound
+            )
+            yield {
+                "lab": lab,
+                "cmp": cmp_,
+                "mask": mask,
+                "lengths": np.asarray(lengths, np.int32),
+            }
 
     def num_batches(
         self,

@@ -36,6 +36,7 @@ class Critic(nn.Module):
     blocks: int = 4
     hidden: int = 256
     kernel: Tuple[int, int] = (5, 5)
+    conv_style: str = "time1d"
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
 
@@ -47,29 +48,47 @@ class Critic(nn.Module):
         cmp = cmp.astype(dt)
         mask = mask.astype(dt)  # (B, T)
 
-        # ---- spectral stream: 2D conv stack over the (T, freq) image ----
         spec_key = "spec" if "spec" in streams else "mel"
         a, b = streams[spec_key]
-        img = cmp[..., a:b][..., None]  # (B, T, F, 1)
-        img = img * mask[:, :, None, None]
-        x = nn.Conv(self.channels, self.kernel, dtype=dt, param_dtype=pdt, name="spec_in")(img)
         t_stride = 1
-        for i in range(self.blocks):
-            x = nn.gelu(x)
-            # stride over time every other block to grow the receptive field
-            stride = (2, 2) if i % 2 == 0 else (1, 1)
-            t_stride *= stride[0]
-            x = nn.Conv(
-                self.channels * min(2 ** (i // 2 + 1), 8),
-                self.kernel,
-                strides=stride,
-                dtype=dt,
-                param_dtype=pdt,
-                name=f"spec_conv{i}",
-            )(x)
-            x = nn.LayerNorm(dtype=dt, param_dtype=pdt, name=f"spec_ln{i}")(x)
-        # pool frequency, keep (B, T', C)
-        x = x.mean(axis=2)
+        if self.conv_style == "2d":
+            # reference-faithful 2D conv stack over the (T, freq) image
+            img = cmp[..., a:b][..., None]  # (B, T, F, 1)
+            img = img * mask[:, :, None, None]
+            x = nn.Conv(self.channels, self.kernel, dtype=dt, param_dtype=pdt, name="spec_in")(img)
+            for i in range(self.blocks):
+                x = nn.gelu(x)
+                # stride over time every other block to grow the receptive field
+                stride = (2, 2) if i % 2 == 0 else (1, 1)
+                t_stride *= stride[0]
+                x = nn.Conv(
+                    self.channels * min(2 ** (i // 2 + 1), 8),
+                    self.kernel,
+                    strides=stride,
+                    dtype=dt,
+                    param_dtype=pdt,
+                    name=f"spec_conv{i}",
+                )(x)
+                x = nn.LayerNorm(dtype=dt, param_dtype=pdt, name=f"spec_ln{i}")(x)
+            # pool frequency, keep (B, T', C)
+            x = x.mean(axis=2)
+        elif self.conv_style == "time1d":
+            # TPU fast path: full-width time-1D strided conv stack; frequency
+            # structure is mixed by the input projection (F → hidden GEMM)
+            s = cmp[..., a:b] * mask[:, :, None]
+            x = nn.Dense(self.hidden, dtype=dt, param_dtype=pdt, name="spec_in")(s)
+            kt = (self.kernel[0],)
+            for i in range(self.blocks):
+                x = nn.gelu(x)
+                stride = 2 if i % 2 == 0 else 1
+                t_stride *= stride
+                x = nn.Conv(
+                    self.hidden, kt, strides=(stride,),
+                    dtype=dt, param_dtype=pdt, name=f"spec_conv{i}",
+                )(x)
+                x = nn.LayerNorm(dtype=dt, param_dtype=pdt, name=f"spec_ln{i}")(x)
+        else:
+            raise ValueError(f"unknown conv_style: {self.conv_style}")
 
         # ---- scalar streams (f0 / vuv / nm / bap): frame-wise dense path ----
         rest = [cmp[..., s:e] for name, (s, e) in streams.items() if name != spec_key]
@@ -115,6 +134,7 @@ def build_critic(model_cfg: ModelConfig, vocoder: VocoderConfig) -> Critic:
         channels=model_cfg.critic_channels,
         blocks=model_cfg.critic_blocks,
         hidden=model_cfg.critic_hidden,
+        conv_style=model_cfg.conv_style,
         compute_dtype=model_cfg.compute_dtype,
         param_dtype=model_cfg.param_dtype,
     )

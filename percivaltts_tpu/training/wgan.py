@@ -42,10 +42,8 @@ def make_wgan_step(
     gp_lambda = cfg.gp_lambda
     lse_weight = cfg.lse_weight
 
-    def critic_loss_fn(critic_params, gen_params, batch, eps_key, state: GANState):
+    def critic_loss_fn(critic_params, batch, fake, eps_key, state: GANState):
         lab, real, mask = batch["lab"], batch["cmp"], batch["mask"]
-        fake = state.gen.apply_fn(gen_params, lab)
-        fake = jax.lax.stop_gradient(fake)
         d_real = state.critic.apply_fn(critic_params, real, lab, mask)
         d_fake = state.critic.apply_fn(critic_params, fake, lab, mask)
 
@@ -79,6 +77,19 @@ def make_wgan_step(
         key, *eps_keys = jax.random.split(state.key, n_critic + 1)
         eps_keys = jnp.stack(eps_keys)
 
+        # Generator params are frozen during the critic loop, so the fakes
+        # for all n_critic batches come from ONE batched generator pass
+        # ((n_critic·B) batch): scans and convs run once at high utilization
+        # instead of n_critic latency-bound passes inside the loop.
+        lab_all = critic_batches["lab"]
+        nc, B = lab_all.shape[0], lab_all.shape[1]
+        fakes = state.gen.apply_fn(
+            state.gen.params, lab_all.reshape((nc * B,) + lab_all.shape[2:])
+        )
+        fakes = jax.lax.stop_gradient(
+            fakes.reshape((nc, B) + fakes.shape[1:])
+        )
+
         def critic_body(i, carry):
             critic_ts, w_acc, gp_acc = carry
             batch = jax.tree.map(
@@ -87,7 +98,7 @@ def make_wgan_step(
             )
             (loss, (w, gp)), grads = jax.value_and_grad(
                 critic_loss_fn, has_aux=True
-            )(critic_ts.params, state.gen.params, batch, eps_keys[i], state)
+            )(critic_ts.params, batch, fakes[i], eps_keys[i], state)
             critic_ts = critic_ts.apply_gradients(grads=grads)
             return critic_ts, w_acc + w, gp_acc + gp
 

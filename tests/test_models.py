@@ -19,10 +19,15 @@ def _batch(B=2, T=64, seed=0):
     return jnp.asarray(lab), jnp.asarray(mask)
 
 
-@pytest.mark.parametrize("kind", ["fc", "blstm", "cnn", "cnn_blstm"])
-def test_generator_shapes(kind):
+@pytest.mark.parametrize(
+    "kind,style",
+    [("fc", "time1d"), ("blstm", "time1d"), ("cnn", "time1d"),
+     ("cnn", "2d"), ("cnn_blstm", "time1d"), ("cnn_blstm", "2d")],
+)
+def test_generator_shapes(kind, style):
     cfg = ModelConfig(generator=kind, hidden_size=32, blstm_size=16,
-                      cnn_channels=4, cnn_blocks=1, blstm_layers=1, num_layers=2)
+                      cnn_channels=4, cnn_blocks=1, blstm_layers=1, num_layers=2,
+                      conv_style=style)
     gen = build_generator(cfg, VOC, LDIM)
     lab, _ = _batch()
     params = gen.init(jax.random.key(0), lab)
@@ -53,9 +58,10 @@ def test_predict_utterance_pads_and_crops():
     assert out.shape == (100, VOC.feature_size)
 
 
-def test_critic_scalar_output_and_mask_invariance():
+@pytest.mark.parametrize("style", ["time1d", "2d"])
+def test_critic_scalar_output_and_mask_invariance(style):
     mcfg = ModelConfig(critic_channels=4, critic_blocks=2, critic_hidden=32,
-                       compute_dtype="float32")
+                       compute_dtype="float32", conv_style=style)
     critic = build_critic(mcfg, VOC)
     lab, mask = _batch()
     cmp = jnp.asarray(
