@@ -41,18 +41,26 @@ def frame_signal(
 
     Frames are centered on t = i·hop (center-padding with zeros), matching
     the convention that frame i describes the signal around sample i·hop.
+
+    Implementation: because frame starts are multiples of ``hop``, framing is
+    R = ceil(frame_length/hop) *shifted contiguous views* of the signal
+    reshaped to (blocks, hop) — pure slicing, no index gather, vectorizes
+    cleanly on the VPU (and is the scheme the Pallas kernel uses).
     """
     n = x.shape[0]
     if pad:
         half = frame_length // 2
         nf = num_frames(n, frame_length, hop)
-        x = jnp.pad(x, (half, frame_length))
+        x = jnp.pad(x, (half, frame_length + hop))
     else:
         nf = max(1 + (n - frame_length) // hop, 0)
-    idx = (
-        jnp.arange(nf)[:, None] * hop + jnp.arange(frame_length)[None, :]
-    )
-    return x[idx]
+        x = jnp.pad(x, (0, frame_length + hop))
+    R = -(-frame_length // hop)
+    total_blocks = nf + R + 1
+    x2d = x[: total_blocks * hop].reshape(total_blocks, hop)
+    cols = [x2d[r : r + nf] for r in range(R)]  # each (nf, hop)
+    frames = jnp.stack(cols, axis=1).reshape(nf, R * hop)
+    return frames[:, :frame_length]
 
 
 def stft(
@@ -73,16 +81,20 @@ def overlap_add(frames: jax.Array, hop: int, out_length: int) -> jax.Array:
     """Overlap-add synthesis: ``(num_frames, frame_length)`` → ``(out_length,)``.
 
     Frame i is added centered at sample i·hop (inverse of ``frame_signal``'s
-    centering). Implemented as a scatter-add over a padded buffer — XLA
-    lowers this to an efficient vectorized scatter.
+    centering). Implemented as R = ceil(frame_length/hop) shifted vectorized
+    adds over an (nf, R, hop) view — no scatter, no index arithmetic (the
+    dual of ``frame_signal``'s scheme, and what the Pallas kernel uses).
     """
     nf, fl = frames.shape
     half = fl // 2
-    total = out_length + half + fl
-    buf = jnp.zeros((total,), frames.dtype)
-    idx = jnp.arange(nf)[:, None] * hop + jnp.arange(fl)[None, :]
-    buf = buf.at[idx.reshape(-1)].add(frames.reshape(-1))
-    return buf[half : half + out_length]
+    R = -(-fl // hop)
+    fp = jnp.pad(frames, ((0, 0), (0, R * hop - fl))).reshape(nf, R, hop)
+    total_blocks = nf + R
+    buf = jnp.zeros((total_blocks, hop), frames.dtype)
+    for r in range(R):
+        buf = buf.at[r : r + nf].add(fp[:, r, :])
+    out = buf.reshape(-1)  # length (nf+R)·hop ≥ half + out_length
+    return out[half : half + out_length]
 
 
 def istft(
