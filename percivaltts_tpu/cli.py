@@ -102,7 +102,11 @@ def cmd_generate(args) -> int:
         a = jax.numpy.asarray(x)
         return jax.ShapeDtypeStruct(a.shape, a.dtype)
 
-    state = ckpt.restore(jax.tree.map(_abstract, state), args.checkpoint)
+    step = args.checkpoint
+    if step is None:
+        step = ckpt.latest_step() if args.latest else ckpt.best_step()
+    print_log(f"generating from checkpoint step {step}")
+    state = ckpt.restore(jax.tree.map(_abstract, state), step)
     measures = generate(
         cfg,
         state,
@@ -113,6 +117,15 @@ def cmd_generate(args) -> int:
     )
     with open(os.path.join(cfg.workdir, "measures.json"), "w") as f:
         json.dump(measures, f, indent=2)
+    return 0
+
+
+def cmd_plot(args) -> int:
+    from percivaltts_tpu.utils.curves import plot_curves
+
+    cfg = _load_config(args.config)
+    out = plot_curves(os.path.join(cfg.workdir, "metrics.jsonl"))
+    print_log(f"wrote {out}")
     return 0
 
 
@@ -136,9 +149,17 @@ def main(argv=None) -> int:
     pt.add_argument("--mesh", action="store_true", help="train data-parallel over all devices")
     pt.set_defaults(fn=cmd_train)
 
+    pp = sub.add_parser("plot", help="plot training curves from metrics.jsonl")
+    pp.add_argument("--config", required=True)
+    pp.set_defaults(fn=cmd_plot)
+
     pg = sub.add_parser("generate", help="generate features/wavs + measures")
     pg.add_argument("--config", required=True)
     pg.add_argument("--checkpoint", type=int, default=None)
+    pg.add_argument(
+        "--latest", action="store_true",
+        help="generate from the latest checkpoint instead of the best-validation one",
+    )
     pg.add_argument("--split", choices=("test", "valid"), default="test")
     pg.add_argument("--no-wav", action="store_true")
     pg.add_argument("--save-features", action="store_true")

@@ -34,22 +34,46 @@ class CheckpointManager:
                 max_to_keep=keep,
                 create=True,
                 enable_async_checkpointing=False,
+                # keep the best-validation checkpoint alive alongside the
+                # most recent ones (the reference generates from its
+                # save-on-validation-improvement weights)
+                best_fn=lambda m: m.get("valid", float("inf")),
+                best_mode="min",
+                keep_checkpoints_without_metrics=True,
             ),
         )
 
-    def save(self, step: int, state: GANState, wait: bool = True) -> None:
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
+    def save(
+        self,
+        step: int,
+        state: GANState,
+        metrics: Optional[dict] = None,
+        wait: bool = True,
+    ) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
         if wait:
             self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, abstract_state: GANState, step: Optional[int] = None) -> GANState:
+    def best_step(self) -> Optional[int]:
+        """Step with the best recorded validation metric (falls back to
+        latest when no metrics were recorded)."""
+        step = self._mgr.best_step()
+        return step if step is not None else self._mgr.latest_step()
+
+    def restore(
+        self,
+        abstract_state: GANState,
+        step: Optional[int] = None,
+        best: bool = False,
+    ) -> GANState:
         """Restore into the structure of ``abstract_state`` (a freshly built
         GANState with the same config — the reference's rebuild-model +
-        load-weights resume)."""
-        step = self.latest_step() if step is None else step
+        load-weights resume). ``best=True`` picks the best-validation step."""
+        if step is None:
+            step = self.best_step() if best else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint found under {self.directory}")
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))

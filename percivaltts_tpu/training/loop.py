@@ -202,7 +202,11 @@ class Trainer:
                 self.best_valid = va
                 self.best_epoch = epoch
             if (epoch + 1) % cfg.checkpoint_every == 0 or improved:
-                self.ckpt.save(epoch, self.state)
+                self.ckpt.save(
+                    epoch,
+                    self.state,
+                    metrics={"valid": float(va)} if va == va else None,
+                )
             if (
                 self.best_epoch >= 0
                 and epoch - self.best_epoch >= cfg.patience

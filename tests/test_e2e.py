@@ -83,6 +83,9 @@ def test_compose_train_generate(corpus, tmp_path):
     wavs = [f for f in os.listdir(gen_dir) if f.endswith(".wav")]
     assert len(wavs) == 2  # num_test
 
+    assert cli_main(["plot", "--config", cfg_path]) == 0
+    assert os.path.getsize(os.path.join(workdir, "curves.png")) > 5000
+
 
 def test_train_resume_cli(corpus, tmp_path):
     workdir = str(tmp_path / "exp2")
