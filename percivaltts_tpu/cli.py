@@ -70,7 +70,13 @@ def cmd_compose(args) -> int:
 
 def cmd_train(args) -> int:
     cfg = _load_config(args.config)
-    corpus = _compose(cfg)
+    on_device = getattr(args, "on_device_norm", False)
+    from percivaltts_tpu.data.compose import compose
+
+    cache = os.path.join(cfg.workdir, "feature_cache")
+    os.makedirs(cache, exist_ok=True)
+    corpus = compose(cfg, cache_dir=cache, normalize=not on_device)
+    corpus.save_stats(cfg.workdir)
     from percivaltts_tpu.parallel import make_mesh
     from percivaltts_tpu.training import Trainer
 
@@ -78,7 +84,14 @@ def cmd_train(args) -> int:
     if args.mesh:
         mesh = make_mesh(data_parallel=cfg.train.data_parallel)
         print_log(f"training on mesh {mesh}")
-    trainer = Trainer(cfg, corpus.train, corpus.valid, mesh=mesh)
+    trainer = Trainer(
+        cfg,
+        corpus.train,
+        corpus.valid,
+        mesh=mesh,
+        in_stats=corpus.in_stats if on_device else None,
+        out_stats=corpus.out_stats if on_device else None,
+    )
     if args.resume:
         trainer.resume()
     trainer.train()
@@ -147,6 +160,10 @@ def main(argv=None) -> int:
     pt.add_argument("--config", required=True)
     pt.add_argument("--resume", action="store_true")
     pt.add_argument("--mesh", action="store_true", help="train data-parallel over all devices")
+    pt.add_argument(
+        "--on-device-norm", action="store_true", dest="on_device_norm",
+        help="apply normalization on device inside the jitted step (raw features ship to HBM)",
+    )
     pt.set_defaults(fn=cmd_train)
 
     pp = sub.add_parser("plot", help="plot training curves from metrics.jsonl")

@@ -77,12 +77,15 @@ def compose(
     cfg: Configuration,
     fileids: Optional[Sequence[str]] = None,
     cache_dir: Optional[str] = None,
+    normalize: bool = True,
 ) -> ComposedCorpus:
     """Run the full composition stage over the corpus in ``cfg.data``.
 
     Normalization matches the reference: min/max for the binary-heavy label
     inputs, mean/std for the acoustic targets with the bounded noise-mask
-    stream left un-rescaled.
+    stream left un-rescaled. With ``normalize=False`` the datasets stay raw
+    and the stats are applied on device inside the jitted train step
+    (``training/ondevice.py``).
     """
     d = cfg.data
     voc = get_vocoder(cfg.vocoder)
@@ -156,6 +159,8 @@ def compose(
     out_stats = compute_meanstd(train.cmps, keep_streams=keep)
 
     def norm(ds: Dataset) -> Dataset:
+        if not normalize:
+            return ds
         return Dataset(
             labs=[in_stats.normalize(l).astype(np.float32) for l in ds.labs],
             cmps=[out_stats.normalize(c).astype(np.float32) for c in ds.cmps],

@@ -72,7 +72,12 @@ class Trainer:
         valid_ds: Optional[Dataset] = None,
         mesh=None,
         workdir: Optional[str] = None,
+        in_stats=None,
+        out_stats=None,
     ):
+        """``in_stats``/``out_stats``: pass NormStats (with *raw* datasets)
+        to normalize on device inside the jitted step instead of host-side
+        (training/ondevice.py)."""
         self.cfg = cfg
         self.train_ds = train_ds
         self.valid_ds = valid_ds
@@ -99,11 +104,20 @@ class Trainer:
         if mesh is not None:
             self.state = replicate_state(self.state, mesh)
 
+        def _maybe_norm(fn):
+            if in_stats is None:
+                return fn
+            from percivaltts_tpu.training.ondevice import make_normalizing_step
+
+            return make_normalizing_step(fn, in_stats, out_stats)
+
         if cfg.train.trainer == "wgan":
-            self._wgan_step = jax.jit(make_wgan_step(cfg.train), donate_argnums=(0,))
+            self._wgan_step = jax.jit(
+                _maybe_norm(make_wgan_step(cfg.train)), donate_argnums=(0,)
+            )
         else:
-            self._lse_step = jax.jit(lse_step, donate_argnums=(0,))
-        self._eval_step = jax.jit(lse_eval_step)
+            self._lse_step = jax.jit(_maybe_norm(lse_step), donate_argnums=(0,))
+        self._eval_step = jax.jit(_maybe_norm(lse_eval_step))
 
         self.best_valid = float("inf")
         self.best_epoch = -1
