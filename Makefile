@@ -1,0 +1,23 @@
+# Reference parity: percivaltts's Makefile (`make tests` etc., SURVEY.md §2
+# "Build/CI") plus targets for the native data plane and the bench harness.
+
+PYTHON ?= python
+
+.PHONY: tests native demo bench clean
+
+tests:
+	$(PYTHON) -m pytest tests/ -q
+
+native:
+	$(MAKE) -C native
+
+demo:
+	$(PYTHON) -m percivaltts_tpu.cli demo --out demo_corpus
+	$(PYTHON) -m percivaltts_tpu.cli compose --config demo_corpus/config.json
+
+bench:
+	$(PYTHON) bench.py
+
+clean:
+	$(MAKE) -C native clean
+	rm -rf demo_corpus exp

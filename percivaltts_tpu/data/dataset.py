@@ -16,9 +16,8 @@ threaded through every loss and metric.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Sequence, Tuple
 
 import numpy as np
 
@@ -89,6 +88,20 @@ class Dataset:
     @property
     def num_frames(self) -> int:
         return int(sum(l.shape[0] for l in self.labs))
+
+    def shard(self, num_shards: int, index: int) -> "Dataset":
+        """Per-process shard for multi-host (pod-slice) training: process i
+        keeps utterances i, i+num_shards, … — each host feeds its local
+        devices while the jitted step's psum runs over ICI (SURVEY.md §5
+        "Distributed communication backend")."""
+        if not 0 <= index < num_shards:
+            raise ValueError(f"shard index {index} out of range({num_shards})")
+        sel = list(range(index, len(self), num_shards))
+        return Dataset(
+            labs=[self.labs[i] for i in sel],
+            cmps=[self.cmps[i] for i in sel],
+            ids=[self.ids[i] for i in sel],
+        )
 
     def subset(self, ids: Sequence[str]) -> "Dataset":
         index = {u: i for i, u in enumerate(self.ids)}

@@ -18,7 +18,6 @@ objective measures) can run end-to-end, deterministically, offline.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np

@@ -13,9 +13,8 @@ inside the jitted input pipeline stage, it fuses into the first matmul.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
-from typing import Iterable, Optional, Sequence, Tuple
+from typing import Iterable, Sequence, Tuple
 
 import numpy as np
 

@@ -15,8 +15,6 @@ Semantics match two independent single-direction LSTMs exactly.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -12,8 +12,6 @@ re-smooth) as a ``lax.fori_loop`` — static shapes, all FFTs batched.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -19,7 +19,8 @@ runs as two ``lax.scan`` fills.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+import math
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -50,8 +51,6 @@ def estimate_f0(
     threshold: float = 0.15,
 ) -> F0Result:
     """YIN f0 track of a 1-D signal at frame rate ``fs/hop``."""
-    import math
-
     tau_min = max(int(fs / f0_max), 2)
     tau_max = int(math.ceil(fs / f0_min)) + 1
     W = tau_max * 2  # integration window: two max-periods

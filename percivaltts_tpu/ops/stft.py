@@ -3,19 +3,19 @@
 Reference parity: the framing/FFT DSP substrate of percivaltts's vendored
 ``pulsemodel/sigproc`` utilities (SURVEY.md §2 "PML vocoder", L0 layer) —
 there it is per-frame Python/scipy loops over the corpus; here every
-utterance is processed as one batched tensor op: framing is a strided
-gather, the FFT is XLA's batched rfft, and synthesis overlap-add is a
-scatter-add — all jit-able and MXU/VPU-friendly with static shapes.
+utterance is processed as one batched tensor op: framing and overlap-add are
+R = ceil(frame_len/hop) shifted contiguous views (no gather/scatter — frame
+starts are hop-aligned), the FFT is XLA's batched rfft — all jit-able and
+VPU-friendly with static shapes.
 
-A Pallas fused framing+window+scale kernel (``percivaltts_tpu.ops.pallas_kernels``)
-replaces the gather on TPU for the hot path; this module is the reference
-implementation and the numerical oracle for it.
+``percivaltts_tpu.ops.pallas_kernels`` implements the same scheme as Pallas
+TPU kernels with this module as their numerical oracle; measured on v5e the
+XLA path wins (see the kernel module docstring), so it is the default.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ table), but the plumbing accepts any (data, model) factorization.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np

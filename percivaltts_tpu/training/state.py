@@ -9,7 +9,7 @@ shape jit/pjit wants, and the unit Orbax checkpoints.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

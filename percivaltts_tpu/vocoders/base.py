@@ -11,7 +11,7 @@ frames); the class layer only handles numpy conversion and stream slicing.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple, Type
+from typing import Dict, Tuple, Type
 
 import numpy as np
 

@@ -37,7 +37,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from percivaltts_tpu.config import VocoderConfig
 from percivaltts_tpu.ops.envelope import spectral_envelope
 from percivaltts_tpu.ops.f0 import estimate_f0
 from percivaltts_tpu.ops.stft import hann_window, istft, stft

@@ -1,0 +1,61 @@
+"""jit-vs-eager consistency of the vocoder analysis/synthesis cores
+(SURVEY.md §4 rebuild implications)."""
+
+import jax
+import numpy as np
+import pytest
+
+from percivaltts_tpu.config import VocoderConfig
+from percivaltts_tpu.data.dataset import Dataset
+from percivaltts_tpu.vocoders import get_vocoder
+
+FS = 16000
+
+
+def _sig(dur=0.3, f0=150.0, seed=0):
+    t = np.arange(int(dur * FS)) / FS
+    rng = np.random.default_rng(seed)
+    x = sum(
+        np.sin(2 * np.pi * k * f0 * t + rng.uniform(0, 2 * np.pi)) / k
+        for k in range(1, 20)
+    )
+    return (x / np.abs(x).max() * 0.7).astype(np.float32)
+
+
+@pytest.mark.parametrize("kind", ["pml", "melspec"])
+def test_analysis_jit_matches_eager(kind):
+    cfg = VocoderConfig(kind=kind, fs=FS, spec_size=33, nm_size=9, mel_size=24)
+    voc = get_vocoder(cfg)
+    x = _sig()
+    jit_feats = voc.analyze(x)
+    with jax.disable_jit():
+        eager_feats = voc.analyze(x)
+    # fp reassociation under fusion differs; log-domain features amplify it
+    # at near-silent bins — demand tight *typical* agreement and bounded
+    # worst case (0.5 log units ≈ 4 dB at the noise floor)
+    diff = np.abs(jit_feats - eager_feats)
+    assert np.median(diff) < 1e-3
+    assert diff.max() < 0.5, diff.max()
+
+
+def test_synthesis_jit_matches_eager():
+    cfg = VocoderConfig(kind="pml", fs=FS, spec_size=33, nm_size=9)
+    voc = get_vocoder(cfg)
+    feats = voc.analyze(_sig())
+    y_jit = voc.synthesize(feats, seed=3)
+    with jax.disable_jit():
+        y_eager = voc.synthesize(feats, seed=3)
+    np.testing.assert_allclose(y_jit, y_eager, rtol=2e-3, atol=2e-4)
+
+
+def test_dataset_shard_partition():
+    rng = np.random.default_rng(0)
+    labs = [rng.normal(size=(20, 3)).astype(np.float32) for _ in range(10)]
+    cmps = [rng.normal(size=(20, 2)).astype(np.float32) for _ in range(10)]
+    ds = Dataset(labs=labs, cmps=cmps)
+    shards = [ds.shard(3, i) for i in range(3)]
+    ids = [u for s in shards for u in s.ids]
+    assert sorted(ids) == sorted(ds.ids)  # complete, disjoint partition
+    assert len(set(ids)) == len(ids)
+    with pytest.raises(ValueError):
+        ds.shard(3, 3)
