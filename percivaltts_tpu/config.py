@@ -153,6 +153,10 @@ class TrainConfig:
     n_critic: int = 5
     gp_lambda: float = 10.0
     lse_weight: float = 0.25  # LSE mixing weight in the generator loss
+    # optional per-stream LSE weights by vocoder stream name, e.g.
+    # {"f0": 10.0, "spec": 1.0, "nm": 1.0} — the reference balances its
+    # feature streams in the regression loss; empty = uniform
+    stream_weights: Tuple[Tuple[str, float], ...] = ()
     # early stopping
     patience: int = 20
     # checkpointing
@@ -160,6 +164,17 @@ class TrainConfig:
     keep_checkpoints: int = 3
     # parallelism: data-axis size 0 = all local devices
     data_parallel: int = 0
+    # dtype for host→device batch transfer. "bfloat16" halves the bytes over
+    # the host link — models compute in bf16 anyway, so inputs lose nothing;
+    # targets gain ≤0.4% rounding noise on normalized features. "float32"
+    # matches the reference exactly.
+    transfer_dtype: str = "float32"
+    # keep the whole (padded) training corpus resident in HBM and gather
+    # batches on device — eliminates per-step host→device feature transfer
+    # (measured ~99% of wall time on the tunneled v5e). Costs
+    # N·bound·(label_dim+feat_dim+1)·4 bytes of HBM (halve via
+    # transfer_dtype=bfloat16); utterances pad to max(bucket_bounds).
+    device_corpus: bool = False
     seed: int = 123
     debug_nans: bool = False
 
@@ -192,6 +207,10 @@ class Configuration:
             sub = dict(d.get(key, {}))
             if key == "data" and "bucket_bounds" in sub:
                 sub["bucket_bounds"] = tuple(sub["bucket_bounds"])
+            if key == "train" and "stream_weights" in sub:
+                sub["stream_weights"] = tuple(
+                    (str(n), float(w)) for n, w in sub["stream_weights"]
+                )
             return klass(**sub)
 
         return cls(

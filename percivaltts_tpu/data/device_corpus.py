@@ -1,0 +1,154 @@
+"""HBM-resident corpus: upload once, gather batches on device.
+
+Reference parity: percivaltts streams every batch from host memory through
+the framework per step (data.py; SURVEY.md §1 "file-mediated design").
+Measured on this v5e, that design is catastrophic for TPU training: the
+fused WGAN-GP step computes in ~29 ms but shipping its ~200 MB of batches
+host→device costs ~4 s — the pipeline is 99% transfer-bound.
+
+TPU-first redesign: a TTS acoustic corpus is small by HBM standards (1 h of
+16 kHz speech at 525 feature dims ≈ 1.5 GB f32, 0.75 GB bf16 — v5e has
+16 GB), so the *entire training set* is padded to the bucket bound, uploaded
+to HBM once, and every step receives only a tiny int32 index array; the
+batch gather happens on device inside the jit region (an HBM→HBM copy,
+~0.5 ms). Epoch shuffling stays host-side (a permutation of utterance
+indices — bytes, not features).
+
+For data-parallel meshes the corpus is replicated and the index array is
+sharded over ``data``, so each device gathers its own batch shard locally.
+Sharding the corpus itself across devices (for corpora beyond HBM) composes
+with ``Dataset.shard`` per process and is the multi-host path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from percivaltts_tpu.data.dataset import Dataset
+
+
+class DeviceCorpus:
+    """All utterances padded to ``bound`` and resident on device."""
+
+    def __init__(
+        self,
+        ds: Dataset,
+        bound: int,
+        dtype: str = "float32",
+        mesh=None,
+        crop_seed: int = 0,
+    ):
+        N = len(ds)
+        L, F = ds.label_dim, ds.feat_dim
+        dt = {"float32": np.float32, "bfloat16": None}[dtype]
+        rng = np.random.default_rng(crop_seed)
+
+        lab = np.zeros((N, bound, L), np.float32)
+        cmp_ = np.zeros((N, bound, F), np.float32)
+        mask = np.zeros((N, bound), np.float32)
+        for i in range(N):
+            l, c = ds.labs[i], ds.cmps[i]
+            n = l.shape[0]
+            off = 0
+            if n > bound:
+                # long utterances get one fixed random crop at upload time
+                off = int(rng.integers(0, n - bound + 1))
+                n = bound
+            lab[i, :n] = l[off : off + n]
+            cmp_[i, :n] = c[off : off + n]
+            mask[i, :n] = 1.0
+
+        if dtype == "bfloat16":
+            import ml_dtypes
+
+            lab = lab.astype(ml_dtypes.bfloat16)
+            cmp_ = cmp_.astype(ml_dtypes.bfloat16)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            put = lambda x: jax.device_put(x, rep)
+        else:
+            put = jax.device_put
+        self.data: Dict[str, jax.Array] = {
+            "lab": put(lab),
+            "cmp": put(cmp_),
+            "mask": put(mask),
+        }
+        self.num_utts = N
+        self.bound = bound
+        self.mesh = mesh
+
+    @property
+    def frames_per_utt(self) -> int:
+        return self.bound
+
+    def epoch_indices(
+        self,
+        batch_size: int,
+        group: int,
+        epoch: int,
+        seed: int = 0,
+        num_steps: int = 0,
+    ) -> Iterator[np.ndarray]:
+        """Host-side shuffling: yield (group, batch_size) int32 index arrays
+        (group = n_critic + 1 for WGAN, 1 for LSE). ``num_steps=0`` → one
+        pass over the corpus; otherwise exactly that many steps, re-shuffling
+        as needed. Fresh permutations are cycled whenever the corpus tail
+        can't fill a group — every step is full-size."""
+        rng = np.random.default_rng(np.uint32(seed) + np.uint32(epoch))
+        per_step = batch_size * group
+        nsteps = num_steps or max(self.num_utts // per_step, 1)
+        need = nsteps * per_step
+        reps = -(-need // self.num_utts)
+        perm = np.concatenate([rng.permutation(self.num_utts) for _ in range(reps)])
+        for s in range(nsteps):
+            chunk = perm[s * per_step : (s + 1) * per_step]
+            yield chunk.reshape(group, batch_size).astype(np.int32)
+
+    def shard_indices(self, idx: np.ndarray):
+        """Device-put an index array, sharded over the mesh's data axis."""
+        if self.mesh is None:
+            return jnp.asarray(idx)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(idx, NamedSharding(self.mesh, P(None, "data")))
+
+
+def gather_batch(corpus_data: Dict[str, jax.Array], idx: jax.Array) -> Dict[str, jax.Array]:
+    """On-device gather: idx (..., B) → batch dict with leading idx shape.
+    Runs inside the jit region; pure HBM→HBM movement."""
+    return {
+        "lab": corpus_data["lab"][idx],
+        "cmp": corpus_data["cmp"][idx],
+        "mask": corpus_data["mask"][idx].astype(jnp.float32),
+    }
+
+
+def make_device_wgan_step(base_step, n_critic: int):
+    """Wrap a WGAN step to take (state, corpus_data, idx) with idx
+    (n_critic+1, B): the critic/generator batches are gathered on device."""
+
+    def step(state, corpus_data, idx):
+        batches = gather_batch(corpus_data, idx)  # leading (n_critic+1, B)
+        critic_b = {k: v[:n_critic] for k, v in batches.items()}
+        gen_b = {k: v[n_critic] for k, v in batches.items()}
+        return base_step(state, critic_b, gen_b)
+
+    return step
+
+
+def make_device_lse_step(base_step):
+    """Wrap an LSE step to take (state, corpus_data, idx) with idx (1, B)."""
+
+    def step(state, corpus_data, idx):
+        batches = gather_batch(corpus_data, idx)
+        batch = {k: v[0] for k, v in batches.items()}
+        return base_step(state, batch)
+
+    return step

@@ -111,12 +111,49 @@ class Trainer:
 
             return make_normalizing_step(fn, in_stats, out_stats)
 
-        if cfg.train.trainer == "wgan":
-            self._wgan_step = jax.jit(
-                _maybe_norm(make_wgan_step(cfg.train)), donate_argnums=(0,)
+        from percivaltts_tpu.training.losses import stream_weight_vector
+
+        dim_w = stream_weight_vector(
+            cfg.vocoder.streams, cfg.train.stream_weights, cfg.vocoder.feature_size
+        )
+        self.dcorpus = None
+        if cfg.train.device_corpus:
+            from percivaltts_tpu.data.device_corpus import DeviceCorpus
+
+            self.dcorpus = DeviceCorpus(
+                train_ds,
+                bound=max(cfg.data.bucket_bounds),
+                dtype=(
+                    "bfloat16"
+                    if cfg.train.transfer_dtype == "bfloat16"
+                    else "float32"
+                ),
+                mesh=mesh,
             )
+
+        if cfg.train.trainer == "wgan":
+            base = _maybe_norm(make_wgan_step(cfg.train, dim_w))
+            if self.dcorpus is not None:
+                from percivaltts_tpu.data.device_corpus import make_device_wgan_step
+
+                self._wgan_step = jax.jit(
+                    make_device_wgan_step(base, cfg.train.n_critic),
+                    donate_argnums=(0,),
+                )
+            else:
+                self._wgan_step = jax.jit(base, donate_argnums=(0,))
         else:
-            self._lse_step = jax.jit(_maybe_norm(lse_step), donate_argnums=(0,))
+            import functools
+
+            base = _maybe_norm(functools.partial(lse_step, dim_weights=dim_w))
+            if self.dcorpus is not None:
+                from percivaltts_tpu.data.device_corpus import make_device_lse_step
+
+                self._lse_step = jax.jit(
+                    make_device_lse_step(base), donate_argnums=(0,)
+                )
+            else:
+                self._lse_step = jax.jit(base, donate_argnums=(0,))
         self._eval_step = jax.jit(_maybe_norm(lse_eval_step))
 
         self.best_valid = float("inf")
@@ -142,13 +179,35 @@ class Trainer:
         return True
 
     def _put(self, batch):
+        batch = self._cast(batch)
         if self.mesh is not None:
             return shard_batch(batch, self.mesh)
         return batch
 
+    def _cast(self, batch):
+        """Cast float streams to the transfer dtype (TrainConfig.transfer_dtype)
+        before shipping host→device — bf16 halves link bytes; the models
+        compute in bf16 regardless."""
+        if self.cfg.train.transfer_dtype == "float32":
+            return batch
+        import ml_dtypes
+
+        dt = {"bfloat16": ml_dtypes.bfloat16, "float16": np.float16}[
+            self.cfg.train.transfer_dtype
+        ]
+        out = dict(batch)
+        # mask stays f32: its sums are loss denominators and bf16 reduction
+        # over thousands of frames is not exact
+        for k in ("lab", "cmp"):
+            if k in out:
+                out[k] = np.asarray(out[k]).astype(dt)
+        return out
+
     def _train_epoch(self, epoch: int) -> Dict[str, float]:
         t0 = time.time()
         d = self.cfg.data
+        if self.dcorpus is not None:
+            return self._train_epoch_device(epoch, t0)
         batches = self.train_ds.batches(
             d.batch_size, d.bucket_bounds, shuffle=True, seed=d.shuffle_seed, epoch=epoch
         )
@@ -158,7 +217,7 @@ class Trainer:
         if self.cfg.train.trainer == "wgan":
             group = self.cfg.train.n_critic + 1
             for critic_b, gen_b in _group_wgan_batches(batches, group):
-                cb = {k: v for k, v in critic_b.items()}
+                cb = self._cast(critic_b)
                 if self.mesh is not None:
                     from percivaltts_tpu.parallel.mesh import shard_stacked_batch
 
@@ -176,6 +235,48 @@ class Trainer:
                 for k, v in m.items():
                     agg[k] = agg.get(k, 0.0) + float(v)
         dt = time.time() - t0
+        out = {k: v / max(nsteps, 1) for k, v in agg.items()}
+        out.update(steps=nsteps, sec=dt, frames_per_sec=frames / max(dt, 1e-9))
+        return out
+
+    def _train_epoch_device(self, epoch: int, t0: float) -> Dict[str, float]:
+        """Epoch over the HBM-resident corpus: only int32 indices cross the
+        host link per step."""
+        d = self.cfg.data
+        group = (
+            self.cfg.train.n_critic + 1
+            if self.cfg.train.trainer == "wgan"
+            else 1
+        )
+        step_fn = (
+            self._wgan_step if self.cfg.train.trainer == "wgan" else self._lse_step
+        )
+        # metrics stay on device until epoch end — a float() per step costs a
+        # ~30 ms tunnel round-trip and would dominate the 29 ms step
+        metrics_log = []
+        nsteps = 0
+        for idx in self.dcorpus.epoch_indices(
+            d.batch_size,
+            group,
+            epoch,
+            seed=d.shuffle_seed,
+            num_steps=self.cfg.train.steps_per_epoch,
+        ):
+            self.state, m = step_fn(
+                self.state, self.dcorpus.data, self.dcorpus.shard_indices(idx)
+            )
+            metrics_log.append(m)
+            nsteps += 1
+        # ONE device_get for all step metrics (each scalar readback is a
+        # separate ~20 ms tunnel round-trip); it also blocks until the whole
+        # dispatched chain has executed, so dt is honest
+        metrics_host = jax.device_get(metrics_log)
+        agg: Dict[str, float] = {}
+        for m in metrics_host:
+            for k, v in m.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+        dt = time.time() - t0
+        frames = nsteps * group * d.batch_size * self.dcorpus.bound
         out = {k: v / max(nsteps, 1) for k, v in agg.items()}
         out.update(steps=nsteps, sec=dt, frames_per_sec=frames / max(dt, 1e-9))
         return out

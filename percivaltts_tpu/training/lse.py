@@ -19,14 +19,15 @@ from percivaltts_tpu.training.state import GANState
 
 
 def lse_step(
-    state: GANState, batch: Dict[str, jax.Array]
+    state: GANState, batch: Dict[str, jax.Array], dim_weights=None
 ) -> Tuple[GANState, Dict[str, jax.Array]]:
-    """One masked-MSE generator update."""
+    """One masked-MSE generator update (``dim_weights``: per-dimension loss
+    weights from TrainConfig.stream_weights)."""
     lab, cmp, mask = batch["lab"], batch["cmp"], batch["mask"]
 
     def loss_fn(params):
         pred = state.gen.apply_fn(params, lab)
-        return masked_mse(pred, cmp, mask)
+        return masked_mse(pred, cmp, mask, dim_weights)
 
     loss, grads = jax.value_and_grad(loss_fn)(state.gen.params)
     gen = state.gen.apply_gradients(grads=grads)

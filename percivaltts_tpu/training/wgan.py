@@ -33,10 +33,12 @@ from percivaltts_tpu.training.state import GANState
 
 def make_wgan_step(
     cfg: TrainConfig,
+    dim_weights=None,
 ) -> Callable[[GANState, Dict[str, jax.Array], Dict[str, jax.Array]], Tuple[GANState, Dict[str, jax.Array]]]:
     """Build the fused step. ``critic_batches`` carries a leading
     ``n_critic`` axis (one fresh batch per critic update, as the reference
-    draws); ``gen_batch`` is the batch for the generator update."""
+    draws); ``gen_batch`` is the batch for the generator update.
+    ``dim_weights``: per-dimension LSE weights (TrainConfig.stream_weights)."""
 
     n_critic = cfg.n_critic
     gp_lambda = cfg.gp_lambda
@@ -66,7 +68,7 @@ def make_wgan_step(
         lab, real, mask = batch["lab"], batch["cmp"], batch["mask"]
         fake = state.gen.apply_fn(gen_params, lab)
         adv = -jnp.mean(state.critic.apply_fn(critic_params, fake, lab, mask))
-        lse = masked_mse(fake, real, mask)
+        lse = masked_mse(fake, real, mask, dim_weights)
         return adv + lse_weight * lse, (adv, lse)
 
     def step(
