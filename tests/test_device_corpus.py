@@ -65,6 +65,30 @@ def test_epoch_indices_cover_and_cycle():
     assert not np.array_equal(a, b)
 
 
+def test_device_corpus_on_mesh(tmp_path):
+    """DP mesh: corpus replicated, per-step indices sharded over 'data'."""
+    from percivaltts_tpu.parallel import make_mesh
+
+    cfg = Configuration(
+        workdir=str(tmp_path / "exp"),
+        data=DataConfig(batch_size=8, bucket_bounds=(64,), label_dim=LDIM),
+        vocoder=VOC,
+        model=ModelConfig(generator="fc", hidden_size=16, num_layers=1,
+                          critic_channels=2, critic_blocks=2, critic_hidden=16,
+                          compute_dtype="float32"),
+        train=TrainConfig(trainer="wgan", n_critic=2, epochs=2, lr_gen=1e-3,
+                          device_corpus=True, steps_per_epoch=3, patience=10),
+    )
+    ds = _ds(n=30)
+    mesh = make_mesh()
+    t = Trainer(cfg, ds, mesh=mesh)
+    assert len(t.dcorpus.data["lab"].sharding.device_set) == 8  # replicated
+    hist = t.train()
+    assert all(np.isfinite(h["loss"]) for h in hist["train"])
+    assert all(h["steps"] == 3 for h in hist["train"])
+    t.close()
+
+
 @pytest.mark.parametrize("trainer", ["lse", "wgan"])
 def test_trainer_with_device_corpus(tmp_path, trainer):
     cfg = Configuration(

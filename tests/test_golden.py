@@ -1,0 +1,26 @@
+"""Golden-array regression tests (SURVEY.md §4: golden arrays in
+tests/golden/ checked against each DSP change). The golden file pins the
+exact PML features of a fixed deterministic signal; loosening these
+tolerances intentionally requires regenerating the file (see the generator
+snippet in git history) and saying why in the commit."""
+
+import os
+
+import numpy as np
+
+from percivaltts_tpu.config import VocoderConfig
+from percivaltts_tpu.vocoders import get_vocoder
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "pml_features.npz")
+
+
+def test_pml_features_match_golden():
+    z = np.load(GOLDEN)
+    wav, expected = z["wav"], z["feats"]
+    voc = get_vocoder(VocoderConfig(kind="pml", fs=16000, spec_size=33, nm_size=17))
+    feats = voc.analyze(wav)
+    assert feats.shape == expected.shape
+    # lf0 stream: tight (YIN is deterministic)
+    np.testing.assert_allclose(feats[:, 0], expected[:, 0], atol=1e-3)
+    # spec/nm streams: small fp drift allowed across jax versions
+    np.testing.assert_allclose(feats[:, 1:], expected[:, 1:], atol=5e-3)
