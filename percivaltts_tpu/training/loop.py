@@ -93,6 +93,9 @@ class Trainer:
         os.makedirs(self.workdir, exist_ok=True)
         cfg.dump(os.path.join(self.workdir, "config.json"))
         self.metrics = MetricsLogger(os.path.join(self.workdir, "metrics.jsonl"))
+        from percivaltts_tpu.utils.profiling import system_info
+
+        self.metrics.log("system", **system_info())
         self.ckpt = CheckpointManager(
             os.path.join(self.workdir, "checkpoints"), keep=cfg.train.keep_checkpoints
         )
