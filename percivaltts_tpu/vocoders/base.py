@@ -58,12 +58,15 @@ class Vocoder:
         """Extract (f0_hz, vuv) tracks for F0-RMSE / VUV-error measures."""
         raise NotImplementedError
 
-    def cepstra(self, feats: np.ndarray) -> np.ndarray:
-        """Extract MCD-ready cepstra from the spectral stream."""
+    def cepstra(self, feats: np.ndarray, order: int = 25) -> np.ndarray:
+        """Extract MCD-ready cepstra from the spectral stream. ``order``
+        defaults to the standard mel-cepstral order (c0..c24) so MCD numbers
+        are comparable to the literature; pass ``order=None`` for the full
+        band resolution."""
         from percivaltts_tpu.eval.measures import log_spec_to_cepstra
 
         key = "spec" if "spec" in self.streams else "mel"
-        return np.asarray(log_spec_to_cepstra(self.stream(feats, key)))
+        return np.asarray(log_spec_to_cepstra(self.stream(feats, key), order))
 
 
 _REGISTRY: Dict[str, Type[Vocoder]] = {}
