@@ -1,42 +1,48 @@
 #!/usr/bin/env python
 """Headline benchmark: WGAN-GP training throughput, frames/sec/chip.
 
-Runs the full Percival-default configuration (BASELINE.md config 3: CNN+BLSTM
-generator, convolutional critic, WGAN-GP with LSE mixing, PML feature dims —
-label_dim 425, cmp 99 = 1 lf0 + 65 spec + 33 nm, 5 ms frames) as the single
-fused jitted step on whatever accelerator JAX exposes (the driver runs this
-on one real TPU chip).
+Default (no args) runs BASELINE.md config 3 — the full Percival default:
+CNN+BLSTM generator, convolutional critic, WGAN-GP with LSE mixing, PML
+feature dims (label 425, cmp 99 = 1 lf0 + 65 spec + 33 nm, 5 ms frames) —
+as the single fused jitted step on one chip, and prints ONE JSON line.
+
+``--config N`` (1–4) benches the other BASELINE configs:
+  1 FC generator, pure LSE (no critic)
+  2 CNN generator + conv critic, WGAN-GP
+  3 CNN+BLSTM generator, WGAN-GP with LSE mixing (default/headline)
+  4 mel-spectrogram target variant (mel-80 features)
+(config 5, data-parallel over a pod slice, is validated by
+``__graft_entry__.dryrun_multichip`` — a single chip can't measure it).
 
 Throughput definition: one outer step consumes ``n_critic`` critic batches +
-1 generator batch; frames/sec = B·T·(n_critic+1) / median step time, divided
-by the number of chips used (1 here).
+1 generator batch (LSE: 1 batch); frames/sec = B·T·batches_per_step / median
+step time / chips.
 
 ``vs_baseline``: the reference (Keras percivaltts) publishes no numbers and
-its mount was empty (BASELINE.md); the recorded baseline is this framework's
-own fused step executed on the host CPU (the reference's native hardware
-class), measured once on this machine — see CPU_BASELINE_* below. The
-north-star target is ≥10× CPU (BASELINE.json).
+its mount was empty (BASELINE.md); the recorded baseline is the same fused
+step implemented in torch eager f32 on the host CPU — the reference's
+hardware class and execution style — measured once by
+``scripts/cpu_reference_bench.py`` (see BASELINE.md).
+
+Timing note: on the tunneled TPU runtime ``block_until_ready`` returns long
+before dispatched work has executed; the only honest sync is a device→host
+readback of the final state, done once per timed chunk.
 """
 
+import argparse
 import json
 import time
 
 import numpy as np
 
-# CPU anchor: the same WGAN-GP step (same layer sizes) implemented in torch
-# eager f32 on the host CPU — the reference's hardware class and execution
-# style. Measured by scripts/cpu_reference_bench.py on this machine
-# (2026-08-16, 1-core VM): 838.5 frames/s at B=8 T=128 (scale-invariant in
-# B·T: 777–838 across shapes). See BASELINE.md.
+# torch eager f32, same layer sizes, 1-core host CPU (2026-08-16):
+# 838.5 frames/s at B=8 T=128 (scale-invariant 777–838 across shapes)
 CPU_BASELINE_FRAMES_PER_SEC = 838.5
-CPU_BASELINE_NOTE = "torch eager f32 fused step, 1-core host CPU (scripts/cpu_reference_bench.py)"
 
 L, B, T, NC = 425, 32, 512, 5
 
 
-def main() -> None:
-    import jax
-
+def _cfg(config: int):
     from percivaltts_tpu.config import (
         Configuration,
         DataConfig,
@@ -44,17 +50,40 @@ def main() -> None:
         TrainConfig,
         VocoderConfig,
     )
+
+    vocoder = VocoderConfig(spec_size=65, nm_size=33)
+    generator, trainer = "cnn_blstm", "wgan"
+    if config == 1:
+        generator, trainer = "fc", "lse"
+    elif config == 2:
+        generator = "cnn"
+    elif config == 4:
+        vocoder = VocoderConfig(kind="melspec", mel_size=80)
+        generator = "cnn"
+    return Configuration(
+        data=DataConfig(batch_size=B, bucket_bounds=(T,), label_dim=L),
+        vocoder=vocoder,
+        model=ModelConfig(generator=generator),
+        train=TrainConfig(trainer=trainer, n_critic=NC),
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=3, choices=(1, 2, 3, 4))
+    args = ap.parse_args()
+
+    import jax
+
+    from percivaltts_tpu.training.lse import lse_step
     from percivaltts_tpu.training.state import make_gan_state
     from percivaltts_tpu.training.wgan import make_wgan_step
 
-    cfg = Configuration(
-        data=DataConfig(batch_size=B, bucket_bounds=(T,), label_dim=L),
-        vocoder=VocoderConfig(spec_size=65, nm_size=33),
-        model=ModelConfig(generator="cnn_blstm"),
-        train=TrainConfig(trainer="wgan", n_critic=NC),
-    )
+    cfg = _cfg(args.config)
     F = cfg.vocoder.feature_size
-    n_chips = 1  # single-chip bench; DP scaling validated via dryrun_multichip
+    n_chips = 1  # single-chip bench; DP validated via dryrun_multichip
+    is_wgan = cfg.train.trainer == "wgan"
+    batches_per_step = NC + 1 if is_wgan else 1
 
     state = make_gan_state(cfg, L)
     rng = np.random.default_rng(0)
@@ -67,37 +96,37 @@ def main() -> None:
             "lengths": jax.numpy.asarray(np.full(lead + (B,), T, np.int32)),
         }
 
-    cb, gb = batch((NC,)), batch()
-    step = jax.jit(make_wgan_step(cfg.train), donate_argnums=(0,))
+    if is_wgan:
+        step_args = (batch((NC,)), batch())
+        step = jax.jit(make_wgan_step(cfg.train), donate_argnums=(0,))
+    else:
+        step_args = (batch(),)
+        step = jax.jit(lse_step, donate_argnums=(0,))
 
-    # compile + warmup. NOTE: hard-sync by reading a value back to the host —
-    # on the tunneled TPU runtime, block_until_ready returns long before the
-    # dispatched chain has executed and under-measures by orders of
-    # magnitude; a device→host readback of the final state cannot lie.
     def hard_sync(s):
         return float(jax.tree.leaves(s.gen.params)[0].sum())
 
-    state, m = step(state, cb, gb)
+    state, m = step(state, *step_args)
     hard_sync(state)
     for _ in range(3):
-        state, m = step(state, cb, gb)
+        state, m = step(state, *step_args)
     hard_sync(state)
 
-    # timed chunks (dependent steps; one readback per chunk amortizes the
-    # ~30 ms tunnel round-trip); median is robust to tunnel jitter
     chunk_times = []
     for _ in range(5):
         t0 = time.perf_counter()
         n = 10
         for _ in range(n):
-            state, m = step(state, cb, gb)
+            state, m = step(state, *step_args)
         hard_sync(state)
         chunk_times.append((time.perf_counter() - t0) / n)
     dt = float(np.median(chunk_times))
 
-    frames_per_sec = B * T * (NC + 1) / dt / n_chips
+    frames_per_sec = B * T * batches_per_step / dt / n_chips
     out = {
-        "metric": "wgan_gp_train_throughput",
+        "metric": "wgan_gp_train_throughput"
+        if args.config == 3
+        else f"train_throughput_config{args.config}",
         "value": round(frames_per_sec, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(frames_per_sec / CPU_BASELINE_FRAMES_PER_SEC, 2),

@@ -153,9 +153,9 @@ def compose(
     train = full.subset(tr_ids)
 
     in_stats = compute_minmax(train.labs)
-    keep = []
-    if "nm" in voc.streams:
-        keep.append(voc.streams["nm"])
+    # bounded [0,1] streams stay un-rescaled (the reference's noise-mask
+    # variant): PML's nm, WORLD's vuv + band aperiodicity
+    keep = [voc.streams[k] for k in ("nm", "vuv", "bap") if k in voc.streams]
     out_stats = compute_meanstd(train.cmps, keep_streams=keep)
 
     def norm(ds: Dataset) -> Dataset:

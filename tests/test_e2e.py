@@ -87,6 +87,36 @@ def test_compose_train_generate(corpus, tmp_path):
     assert os.path.getsize(os.path.join(workdir, "curves.png")) > 5000
 
 
+@pytest.mark.parametrize("kind,extra", [("world", {}), ("melspec", {"mel_size": 24})])
+def test_other_vocoders_end_to_end(corpus, tmp_path, kind, extra):
+    """compose → short train → generate with the WORLD-style and mel
+    vocoders; bounded streams must stay un-rescaled."""
+    workdir = str(tmp_path / f"exp_{kind}")
+    cfg_path = _write_cfg(corpus, workdir)
+    with open(cfg_path) as f:
+        d = json.load(f)
+    d["vocoder"].update(kind=kind, **extra)
+    d["train"].update(epochs=1)
+    with open(cfg_path, "w") as f:
+        json.dump(d, f)
+    assert cli_main(["train", "--config", cfg_path]) == 0
+    if kind == "world":
+        stats = np.load(os.path.join(workdir, "out_stats.npz"))
+        cfgv = Configuration.load(os.path.join(workdir, "config.json")).vocoder
+        a, b = cfgv.streams["vuv"]
+        assert np.all(stats["scale"][a:b] == 1.0)
+        a, b = cfgv.streams["bap"]
+        assert np.all(stats["scale"][a:b] == 1.0)
+    assert cli_main(["generate", "--config", cfg_path, "--no-wav"]) == 0
+    with open(os.path.join(workdir, "measures.json")) as f:
+        m = json.load(f)
+    assert np.isfinite(m["mcd_db"])
+    if kind == "world":
+        assert "f0_rmse_hz" in m
+    else:
+        assert "f0_rmse_hz" not in m  # mel has no f0 stream
+
+
 def test_train_resume_cli(corpus, tmp_path):
     workdir = str(tmp_path / "exp2")
     cfg_path = _write_cfg(corpus, workdir)
