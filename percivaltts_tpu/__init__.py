@@ -27,3 +27,28 @@ from percivaltts_tpu.config import (  # noqa: F401
     TrainConfig,
     VocoderConfig,
 )
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing jax/flax at package import)
+    if name == "Trainer":
+        from percivaltts_tpu.training import Trainer
+
+        return Trainer
+    if name == "Dataset":
+        from percivaltts_tpu.data.dataset import Dataset
+
+        return Dataset
+    if name == "get_vocoder":
+        from percivaltts_tpu.vocoders import get_vocoder
+
+        return get_vocoder
+    if name == "compose":
+        from percivaltts_tpu.data.compose import compose
+
+        return compose
+    if name == "generate":
+        from percivaltts_tpu.eval.generate import generate
+
+        return generate
+    raise AttributeError(f"module 'percivaltts_tpu' has no attribute {name!r}")

@@ -214,27 +214,42 @@ class Trainer:
         batches = self.train_ds.batches(
             d.batch_size, d.bucket_bounds, shuffle=True, seed=d.shuffle_seed, epoch=epoch
         )
+        from percivaltts_tpu.utils.prefetch import prefetch
+
         agg: Dict[str, float] = {}
         nsteps = 0
         frames = 0.0
         if self.cfg.train.trainer == "wgan":
             group = self.cfg.train.n_critic + 1
-            for critic_b, gen_b in _group_wgan_batches(batches, group):
-                cb = self._cast(critic_b)
-                if self.mesh is not None:
-                    from percivaltts_tpu.parallel.mesh import shard_stacked_batch
 
-                    cb = shard_stacked_batch(cb, self.mesh)
-                self.state, m = self._wgan_step(self.state, cb, self._put(gen_b))
+            def prepared():
+                # batch assembly + cast + device_put run in the prefetch
+                # thread, overlapping device execution
+                for critic_b, gen_b in _group_wgan_batches(batches, group):
+                    cb = self._cast(critic_b)
+                    if self.mesh is not None:
+                        from percivaltts_tpu.parallel.mesh import shard_stacked_batch
+
+                        cb = shard_stacked_batch(cb, self.mesh)
+                    nf = float(critic_b["mask"].sum() + gen_b["mask"].sum())
+                    yield cb, self._put(gen_b), nf
+
+            for cb, gb, nf in prefetch(prepared()):
+                self.state, m = self._wgan_step(self.state, cb, gb)
                 nsteps += 1
-                frames += float(critic_b["mask"].sum() + gen_b["mask"].sum())
+                frames += nf
                 for k, v in m.items():
                     agg[k] = agg.get(k, 0.0) + float(v)
         else:
-            for b in batches:
-                self.state, m = self._lse_step(self.state, self._put(b))
+
+            def prepared():
+                for b in batches:
+                    yield self._put(b), float(b["mask"].sum())
+
+            for gb, nf in prefetch(prepared()):
+                self.state, m = self._lse_step(self.state, gb)
                 nsteps += 1
-                frames += float(b["mask"].sum())
+                frames += nf
                 for k, v in m.items():
                     agg[k] = agg.get(k, 0.0) + float(v)
         dt = time.time() - t0
