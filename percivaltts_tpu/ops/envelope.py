@@ -24,7 +24,14 @@ def spectral_envelope(
     dftlen: int,
     iterations: int = 3,
 ) -> jax.Array:
-    """Smooth log-amplitude envelope of ``log_mag`` (frames, dftlen//2+1).
+    """Smooth log-amplitude envelopes of ``log_mag`` (frames, dftlen//2+1).
+
+    Returns ``(env_smooth, env_te)``: the plain cepstrally-smoothed envelope
+    and the true-envelope refinement (Röbel & Rodet). TE rides spectral
+    *maxima* — right for harmonic combs, but on noise spectra it sits
+    2–4 dB above the mean magnitude, so callers should select per frame by
+    voicing (PML analysis uses env_te on voiced frames, env_smooth on
+    unvoiced ones).
 
     The lifter keeps quefrencies below the per-frame pitch period (cutoff
     ``fs / (1.3 · f0)`` samples, the classic choice that removes the
@@ -49,9 +56,9 @@ def spectral_envelope(
 
     env = smooth(log_mag)
 
-    def body(_, env):
-        target = jnp.maximum(log_mag, env)
+    def body(_, e):
+        target = jnp.maximum(log_mag, e)
         return smooth(target)
 
-    env = jax.lax.fori_loop(0, iterations, body, env)
-    return env
+    env_te = jax.lax.fori_loop(0, iterations, body, env)
+    return env, env_te

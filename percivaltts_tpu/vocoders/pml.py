@@ -80,7 +80,13 @@ def pml_analyze_core(
     spec = stft(wav, frame_len, hop, dftlen, window)  # (nf, bins)
     mag = jnp.abs(spec)
     logmag = jnp.log(jnp.maximum(mag, 1e-8))
-    env = spectral_envelope(logmag, f0, fs, dftlen)
+    # True envelope everywhere. Gating TE by voicing (plain smoothing on
+    # unvoiced frames) was tried and measured WORSE on copy-synthesis MCD
+    # (21.5 vs 20.1 dB): wherever the voicing decision differs between two
+    # analyses of near-identical audio, the estimator flips and adds a
+    # 2–4 dB asymmetry — a consistent estimator beats a per-frame-optimal
+    # one for parity metrics.
+    _, env = spectral_envelope(logmag, f0, fs, dftlen)
 
     W_spec = jnp.asarray(warp_matrix(spec_size, dftlen, fs))
     spec_w = env @ W_spec  # (nf, spec_size)

@@ -118,7 +118,10 @@ def test_spectral_envelope_removes_harmonics():
     logmag = np.log(spec).astype(np.float32)
     nf = logmag.shape[0]
     f0s = np.full((nf,), f0, dtype=np.float32)
-    env = np.asarray(spectral_envelope(logmag, f0s, FS, dftlen))
+    env_smooth, env_te = spectral_envelope(logmag, f0s, FS, dftlen)
+    env = np.asarray(env_te)
+    # the plain smoothing must also be smooth and sit at/below the TE
+    assert np.mean(np.asarray(env_smooth) <= env + 1e-3) > 0.95
     assert env.shape == logmag.shape
     # envelope must be smoother than the raw log spectrum: total variation
     tv_raw = np.abs(np.diff(logmag, axis=1)).mean()
