@@ -70,6 +70,10 @@ def cmd_compose(args) -> int:
 
 def cmd_train(args) -> int:
     cfg = _load_config(args.config)
+    if getattr(args, "device_corpus", False):
+        import dataclasses
+
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, device_corpus=True))
     on_device = getattr(args, "on_device_norm", False)
     from percivaltts_tpu.data.compose import compose
 
@@ -163,6 +167,11 @@ def main(argv=None) -> int:
     pt.add_argument(
         "--on-device-norm", action="store_true", dest="on_device_norm",
         help="apply normalization on device inside the jitted step (raw features ship to HBM)",
+    )
+    pt.add_argument(
+        "--device-corpus", action="store_true", dest="device_corpus",
+        help="keep the padded training corpus resident in HBM and gather "
+        "batches on device (overrides TrainConfig.device_corpus)",
     )
     pt.set_defaults(fn=cmd_train)
 

@@ -96,6 +96,13 @@ class Trainer:
         from percivaltts_tpu.utils.profiling import system_info
 
         self.metrics.log("system", **system_info())
+        # sanity scale for the losses (reference: data.py's zero-predictor
+        # RMSE): a trained model must beat this by a wide margin
+        from percivaltts_tpu.data.dataset import cost_0pred_rmse
+
+        zero_rmse = cost_0pred_rmse(train_ds.cmps)
+        self.metrics.log("sanity", cost_0pred_rmse=zero_rmse)
+        print_log(f"zero-predictor RMSE over targets: {zero_rmse:.5f}")
         self.ckpt = CheckpointManager(
             os.path.join(self.workdir, "checkpoints"), keep=cfg.train.keep_checkpoints
         )
