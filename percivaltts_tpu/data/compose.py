@@ -122,31 +122,43 @@ def compose(
         with open(meta_path, "w") as f:
             json.dump(meta, f, indent=2, sort_keys=True)
 
-    labs: List[np.ndarray] = []
-    cmps: List[np.ndarray] = []
+    qdim = questions.dim + 9  # + frame features
+    labs: dict = {}
+    cmps: dict = {}
+    uncached: List[str] = []
     for uid in fileids:
-        lab_path = os.path.join(d.corpus_dir, d.label_dir, uid + ".lab")
-        wav_path = os.path.join(d.corpus_dir, d.wav_dir, uid + ".wav")
         cached_lab = cache_dir and os.path.join(cache_dir, uid + ".lab.f32")
         cached_cmp = cache_dir and os.path.join(cache_dir, uid + ".cmp.f32")
-        qdim = questions.dim + 9  # + frame features
         if cache_dir and os.path.exists(cached_lab) and os.path.exists(cached_cmp):
-            lab = load_binary_file(cached_lab, qdim)
-            cmp_ = load_binary_file(cached_cmp, voc.feature_size)
+            labs[uid] = load_binary_file(cached_lab, qdim)
+            cmps[uid] = load_binary_file(cached_cmp, voc.feature_size)
         else:
-            lab = binarize_label_file(lab_path, questions, shift_sec)
+            uncached.append(uid)
+
+    # vocoder analysis in batched chunks: one vmapped device call per chunk
+    # instead of one dispatch per utterance (the compose-stage hot loop)
+    CHUNK = 8
+    for k in range(0, len(uncached), CHUNK):
+        chunk = uncached[k : k + CHUNK]
+        wavs = []
+        for uid in chunk:
+            wav_path = os.path.join(d.corpus_dir, d.wav_dir, uid + ".wav")
             fs, wav = load_wav(wav_path)
             if fs != cfg.vocoder.fs:
                 raise ValueError(
                     f"{wav_path}: sample rate {fs} != configured {cfg.vocoder.fs}"
                 )
-            cmp_ = voc.analyze(wav)
+            wavs.append(wav)
+        for uid, cmp_ in zip(chunk, voc.analyze_batch(wavs)):
+            cmps[uid] = cmp_
+            lab_path = os.path.join(d.corpus_dir, d.label_dir, uid + ".lab")
+            labs[uid] = binarize_label_file(lab_path, questions, shift_sec)
             if cache_dir:
-                save_binary_file(cached_lab, lab)
-                save_binary_file(cached_cmp, cmp_)
-        labs.append(lab)
-        cmps.append(cmp_)
-    print_log(f"composed {len(fileids)} utterances")
+                save_binary_file(os.path.join(cache_dir, uid + ".lab.f32"), labs[uid])
+                save_binary_file(os.path.join(cache_dir, uid + ".cmp.f32"), cmp_)
+    labs = [labs[uid] for uid in fileids]
+    cmps = [cmps[uid] for uid in fileids]
+    print_log(f"composed {len(fileids)} utterances ({len(uncached)} analyzed)")
 
     full = Dataset(labs=labs, cmps=cmps, ids=list(fileids))
     tr_ids, va_ids, te_ids = split_fileids(list(fileids), d.num_valid, d.num_test)

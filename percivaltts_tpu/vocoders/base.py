@@ -48,6 +48,12 @@ class Vocoder:
         """waveform (n,) float32 in [-1, 1] → (frames, feature_size)."""
         raise NotImplementedError
 
+    def analyze_batch(self, wavs) -> list:
+        """Analyze several waveforms; subclasses may override with a single
+        batched (vmapped) device call — one dispatch for the whole chunk
+        instead of one per utterance (compose-stage hot path on TPU)."""
+        return [self.analyze(w) for w in wavs]
+
     def synthesize(self, feats: np.ndarray) -> np.ndarray:
         """(frames, feature_size) → waveform (frames · shift_samples,)."""
         raise NotImplementedError

@@ -214,6 +214,24 @@ def pml_synthesize_core(
     return harm + noise_wav
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fs",
+        "hop",
+        "frame_len",
+        "dftlen",
+        "spec_size",
+        "nm_size",
+        "f0_min",
+        "f0_max",
+    ),
+)
+def _pml_analyze_vmapped(wavs, **kw):
+    """vmap of the analysis core over a stacked (B, n) waveform batch."""
+    return jax.vmap(lambda w: pml_analyze_core(w, **kw))(wavs)
+
+
 @register
 class PMLVocoder(Vocoder):
     """PML-equivalent vocoder (see module docstring)."""
@@ -267,6 +285,33 @@ class PMLVocoder(Vocoder):
             seed=seed,
         )
         return np.asarray(wav[: nf * c.shift_samples])
+
+    def analyze_batch(self, wavs) -> list:
+        """One vmapped device call per chunk of utterances: all waveforms pad
+        to the chunk's frame bound, the jitted core maps over the batch, and
+        per-utterance frame counts crop host-side. Compile variants stay
+        bounded by FRAME_MULTIPLE exactly like ``analyze``."""
+        c = self.cfg
+        hop = c.shift_samples
+        nfs = [int(np.ceil(len(w) / hop)) for w in wavs]
+        nf_pad = -(-max(nfs) // FRAME_MULTIPLE) * FRAME_MULTIPLE
+        stack = np.zeros((len(wavs), nf_pad * hop), np.float32)
+        for i, w in enumerate(wavs):
+            stack[i, : len(w)] = np.asarray(w, np.float32)
+
+        feats, _ = _pml_analyze_vmapped(
+            jnp.asarray(stack),
+            fs=c.fs,
+            hop=hop,
+            frame_len=c.frame_samples,
+            dftlen=c.dftlen,
+            spec_size=c.spec_size,
+            nm_size=c.nm_size,
+            f0_min=c.f0_min,
+            f0_max=c.f0_max,
+        )
+        feats = np.asarray(feats)
+        return [feats[i, :n] for i, n in enumerate(nfs)]
 
     def f0_vuv(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """f0 from the lf0 stream; voicing from the low-band noise mask

@@ -48,6 +48,19 @@ def test_analyze_schema(voc):
     assert nm[core, :8][vuv[core] > 0.5].mean() < 0.35
 
 
+def test_analyze_batch_matches_single(voc):
+    rng = np.random.default_rng(7)
+    wavs = [
+        _voiced_signal(f0=f0, dur=d, seed=s)
+        for f0, d, s in ((120.0, 0.3, 1), (200.0, 0.45, 2), (160.0, 0.25, 3))
+    ]
+    single = [voc.analyze(w) for w in wavs]
+    batched = voc.analyze_batch(wavs)
+    for a, b in zip(single, batched):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+
 def test_analyze_noise_is_unvoiced(voc):
     rng = np.random.default_rng(1)
     x = (rng.normal(size=FS // 2) * 0.2).astype(np.float32)
