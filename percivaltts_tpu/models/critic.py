@@ -50,6 +50,13 @@ class Critic(nn.Module):
 
         spec_key = "spec" if "spec" in streams else "mel"
         a, b = streams[spec_key]
+        total_stride = 2 ** ((self.blocks + 1) // 2)  # stride-2 every other block
+        if cmp.shape[1] % total_stride != 0:
+            raise ValueError(
+                f"critic needs sequence length divisible by its total time "
+                f"stride {total_stride} (got {cmp.shape[1]}); pick bucket "
+                f"bounds that are multiples of {total_stride}"
+            )
         t_stride = 1
         if self.conv_style == "2d":
             # reference-faithful 2D conv stack over the (T, freq) image
