@@ -137,6 +137,61 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_synth(args) -> int:
+    """Pure inference: HTS label file(s) → synthesized wav, no acoustic
+    targets needed (the reference's generation path applied to unseen
+    labels). Uses the workdir's stats + best checkpoint."""
+    cfg = _load_config(args.config)
+    import glob as _glob
+
+    import jax
+    import numpy as np
+
+    from percivaltts_tpu.data.compose import save_wav
+    from percivaltts_tpu.data.hts_labels import QuestionSet, binarize_label_file
+    from percivaltts_tpu.data.normalize import NormStats
+    from percivaltts_tpu.models.base import predict_utterance
+    from percivaltts_tpu.training.checkpoints import CheckpointManager
+    from percivaltts_tpu.training.state import make_gan_state
+    from percivaltts_tpu.vocoders import get_vocoder
+
+    in_stats = NormStats.load(os.path.join(cfg.workdir, "in_stats.npz"))
+    out_stats = NormStats.load(os.path.join(cfg.workdir, "out_stats.npz"))
+    questions = QuestionSet.from_hed(cfg.data.question_file)
+    voc = get_vocoder(cfg.vocoder)
+
+    state = make_gan_state(cfg, in_stats.shift.shape[0])
+    ckpt = CheckpointManager(os.path.join(cfg.workdir, "checkpoints"))
+
+    def _abstract(x):
+        a = jax.numpy.asarray(x)
+        return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+    step = ckpt.best_step()
+    state = ckpt.restore(jax.tree.map(_abstract, state), step)
+    print_log(f"synthesizing from checkpoint step {step}")
+
+    outdir = args.out or os.path.join(cfg.workdir, "synth")
+    os.makedirs(outdir, exist_ok=True)
+    paths = []
+    for pattern in args.labels:
+        paths.extend(sorted(_glob.glob(pattern)))
+    if not paths:
+        raise FileNotFoundError(f"no label files match {args.labels}")
+    shift_sec = cfg.vocoder.shift_ms / 1000.0
+    for p in paths:
+        lab = binarize_label_file(p, questions, shift_sec)
+        lab_n = in_stats.normalize(lab).astype(np.float32)
+        pred_n = predict_utterance(state.gen.apply_fn, state.gen.params, lab_n)
+        pred = out_stats.denormalize(pred_n).astype(np.float32)
+        wav = voc.synthesize(pred)
+        uid = os.path.splitext(os.path.basename(p))[0]
+        out_path = os.path.join(outdir, uid + ".wav")
+        save_wav(out_path, cfg.vocoder.fs, wav)
+        print_log(f"{p} → {out_path} ({len(wav) / cfg.vocoder.fs:.2f} s)")
+    return 0
+
+
 def cmd_plot(args) -> int:
     from percivaltts_tpu.utils.curves import plot_curves
 
@@ -174,6 +229,12 @@ def main(argv=None) -> int:
         "batches on device (overrides TrainConfig.device_corpus)",
     )
     pt.set_defaults(fn=cmd_train)
+
+    ps = sub.add_parser("synth", help="synthesize wavs from HTS label files (pure inference)")
+    ps.add_argument("--config", required=True)
+    ps.add_argument("--out", default=None)
+    ps.add_argument("labels", nargs="+", help="label file paths or globs")
+    ps.set_defaults(fn=cmd_synth)
 
     pp = sub.add_parser("plot", help="plot training curves from metrics.jsonl")
     pp.add_argument("--config", required=True)

@@ -123,3 +123,9 @@ def test_train_resume_cli(corpus, tmp_path):
     assert cli_main(["train", "--config", cfg_path]) == 0
     # resuming at max epochs is a no-op but must succeed
     assert cli_main(["train", "--config", cfg_path, "--resume"]) == 0
+
+    # pure inference: label file -> wav, no acoustic targets involved
+    lab = os.path.join(corpus, "label_state_align", "demo0000.lab")
+    assert cli_main(["synth", "--config", cfg_path, lab]) == 0
+    wav = os.path.join(workdir, "synth", "demo0000.wav")
+    assert os.path.getsize(wav) > 1000
