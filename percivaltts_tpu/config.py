@@ -110,7 +110,7 @@ class ModelConfig:
     """Generator/critic zoo (reference: models_basic.py / models_cnn.py /
     critic per SURVEY.md §2)."""
 
-    generator: str = "cnn"  # "fc" | "blstm" | "cnn" | "cnn_blstm"
+    generator: str = "cnn"  # "fc" | "blstm" | "bgru" | "cnn" | "cnn_blstm"
     hidden_size: int = 256
     num_layers: int = 3
     # CNN generator

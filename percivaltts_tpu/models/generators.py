@@ -55,16 +55,18 @@ class FCGenerator(nn.Module):
 
 
 class BLSTMGenerator(nn.Module):
-    """Bidirectional-LSTM generator (reference: the BLSTM/BGRU builder in
-    models_basic.py). Dense front-end, stacked BLSTM, linear readout.
+    """Bidirectional recurrent generator (reference: the BLSTM/BGRU builders
+    in models_basic.py). Dense front-end, stacked BLSTM or BGRU
+    (``cell_type``), linear readout.
 
-    The recurrence is a ``lax.scan`` (flax nn.RNN) — linear in sequence
-    length, compiled once per bucket bound.
+    The recurrence is one fused ``lax.scan`` per layer (models/rnn.py) —
+    linear in sequence length, compiled once per bucket bound.
     """
 
     feat_dim: int
     hidden_size: int = 256
     num_layers: int = 2
+    cell_type: str = "lstm"
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
 
@@ -80,6 +82,7 @@ class BLSTMGenerator(nn.Module):
                 self.hidden_size // 2,
                 compute_dtype=self.compute_dtype,
                 param_dtype=self.param_dtype,
+                cell_type=self.cell_type,
                 name=f"blstm_{i}",
             )(x)
         x = nn.Dense(self.feat_dim, dtype=dt, param_dtype=pdt, name="out")(x)
@@ -211,11 +214,12 @@ def build_generator(model_cfg: ModelConfig, vocoder: VocoderConfig, label_dim: i
             num_layers=model_cfg.num_layers,
             **common,
         )
-    if kind == "blstm":
+    if kind in ("blstm", "bgru"):
         return BLSTMGenerator(
             feat_dim=feat_dim,
             hidden_size=model_cfg.blstm_size,
             num_layers=model_cfg.blstm_layers,
+            cell_type="gru" if kind == "bgru" else "lstm",
             **common,
         )
     if kind in ("cnn", "cnn_blstm"):

@@ -30,26 +30,33 @@ class _DualLSTMStep(nn.Module):
     features: int
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    cell_type: str = "lstm"  # "lstm" | "gru"
 
     @nn.compact
     def __call__(self, carry, xs):
         xf, xb = xs  # (B, D) forward input, backward (time-reversed) input
         cf, cb = carry
         dt, pdt = _dtype(self.compute_dtype), _dtype(self.param_dtype)
-        cell_f = nn.OptimizedLSTMCell(self.features, dtype=dt, param_dtype=pdt, name="fwd")
-        cell_b = nn.OptimizedLSTMCell(self.features, dtype=dt, param_dtype=pdt, name="bwd")
+        cell_cls = {"lstm": nn.OptimizedLSTMCell, "gru": nn.GRUCell}[self.cell_type]
+        cell_f = cell_cls(self.features, dtype=dt, param_dtype=pdt, name="fwd")
+        cell_b = cell_cls(self.features, dtype=dt, param_dtype=pdt, name="bwd")
         cf, yf = cell_f(cf, xf)
         cb, yb = cell_b(cb, xb)
         return (cf, cb), (yf, yb)
 
 
 class BiLSTM(nn.Module):
-    """(B, T, D) → (B, T, 2·features); one fused scan for both directions."""
+    """(B, T, D) → (B, T, 2·features); one fused scan for both directions.
+
+    ``cell_type="gru"`` gives the reference's BGRU variant with the same
+    fused-scan structure (GRU carry is a single hidden vector).
+    """
 
     features: int
     unroll: int = 16
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    cell_type: str = "lstm"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -70,9 +77,13 @@ class BiLSTM(nn.Module):
             features=self.features,
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
+            cell_type=self.cell_type,
             name="cell",
         )
         zeros = jnp.zeros((B, self.features), dt)
-        carry = ((zeros, zeros), (zeros, zeros))
+        if self.cell_type == "gru":
+            carry = (zeros, zeros)
+        else:
+            carry = ((zeros, zeros), (zeros, zeros))
         _, (yf, yb) = step(carry, (x, xr))
         return jnp.concatenate([yf, yb[:, ::-1]], axis=-1)

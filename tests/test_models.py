@@ -21,7 +21,7 @@ def _batch(B=2, T=64, seed=0):
 
 @pytest.mark.parametrize(
     "kind,style",
-    [("fc", "time1d"), ("blstm", "time1d"), ("cnn", "time1d"),
+    [("fc", "time1d"), ("blstm", "time1d"), ("bgru", "time1d"), ("cnn", "time1d"),
      ("cnn", "2d"), ("cnn_blstm", "time1d"), ("cnn_blstm", "2d")],
 )
 def test_generator_shapes(kind, style):
