@@ -175,6 +175,10 @@ class TrainConfig:
     # N·bound·(label_dim+feat_dim+1)·4 bytes of HBM (halve via
     # transfer_dtype=bfloat16); utterances pad to max(bucket_bounds).
     device_corpus: bool = False
+    # with device_corpus on a mesh: partition the corpus over the data axis
+    # instead of replicating it (capacity scales with device count); each
+    # device samples from its local shard via a shard_map gather
+    shard_corpus: bool = False
     seed: int = 123
     debug_nans: bool = False
 

@@ -16,8 +16,14 @@ indices — bytes, not features).
 
 For data-parallel meshes the corpus is replicated and the index array is
 sharded over ``data``, so each device gathers its own batch shard locally.
-Sharding the corpus itself across devices (for corpora beyond HBM) composes
-with ``Dataset.shard`` per process and is the multi-host path.
+
+For corpora beyond one chip's HBM, ``shard_corpus=True`` partitions the
+utterance axis across the ``data`` mesh axis instead (capacity scales with
+device count): each device samples its batch shard from its *local* corpus
+shard via a ``shard_map`` gather inside the jit region — no cross-device
+feature movement, ever. Shuffling becomes per-shard (each device permutes
+its own utterances), the standard per-host sampling semantics of sharded
+input pipelines. Multi-host composes with ``Dataset.shard`` per process.
 """
 
 from __future__ import annotations
@@ -41,15 +47,21 @@ class DeviceCorpus:
         dtype: str = "float32",
         mesh=None,
         crop_seed: int = 0,
+        shard_corpus: bool = False,
     ):
+        if shard_corpus and mesh is None:
+            raise ValueError("shard_corpus=True requires a mesh")
         N = len(ds)
         L, F = ds.label_dim, ds.feat_dim
-        dt = {"float32": np.float32, "bfloat16": None}[dtype]
         rng = np.random.default_rng(crop_seed)
+        self.n_shards = int(mesh.shape["data"]) if (mesh is not None and shard_corpus) else 1
+        # pad the utterance count so every device shard is equal-sized;
+        # padding rows are all-masked duplicates of row 0
+        N_pad = -(-N // self.n_shards) * self.n_shards if shard_corpus else N
 
-        lab = np.zeros((N, bound, L), np.float32)
-        cmp_ = np.zeros((N, bound, F), np.float32)
-        mask = np.zeros((N, bound), np.float32)
+        lab = np.zeros((N_pad, bound, L), np.float32)
+        cmp_ = np.zeros((N_pad, bound, F), np.float32)
+        mask = np.zeros((N_pad, bound), np.float32)
         for i in range(N):
             l, c = ds.labs[i], ds.cmps[i]
             n = l.shape[0]
@@ -71,8 +83,8 @@ class DeviceCorpus:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            rep = NamedSharding(mesh, P())
-            put = lambda x: jax.device_put(x, rep)
+            spec = P("data") if shard_corpus else P()
+            put = lambda x: jax.device_put(x, NamedSharding(mesh, spec))
         else:
             put = jax.device_put
         self.data: Dict[str, jax.Array] = {
@@ -81,8 +93,10 @@ class DeviceCorpus:
             "mask": put(mask),
         }
         self.num_utts = N
+        self.num_utts_padded = N_pad
         self.bound = bound
         self.mesh = mesh
+        self.shard_corpus = shard_corpus
 
     @property
     def frames_per_utt(self) -> int:
@@ -100,8 +114,37 @@ class DeviceCorpus:
         (group = n_critic + 1 for WGAN, 1 for LSE). ``num_steps=0`` → one
         pass over the corpus; otherwise exactly that many steps, re-shuffling
         as needed. Fresh permutations are cycled whenever the corpus tail
-        can't fill a group — every step is full-size."""
+        can't fill a group — every step is full-size.
+
+        With a sharded corpus, index values are *local* to each device's
+        shard: columns [d·B/n, (d+1)·B/n) hold indices into shard d (each
+        device permutes its own utterances — standard sharded-input
+        semantics)."""
         rng = np.random.default_rng(np.uint32(seed) + np.uint32(epoch))
+        if self.shard_corpus and self.n_shards > 1:
+            n = self.n_shards
+            if batch_size % n != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} must be divisible by the "
+                    f"corpus shard count ({n})"
+                )
+            b_local = batch_size // n
+            local_n = self.num_utts_padded // n
+            per_step = b_local * group
+            nsteps = num_steps or max(local_n // per_step, 1)
+            need = nsteps * per_step
+            reps = -(-need // local_n)
+            perms = [
+                np.concatenate([rng.permutation(local_n) for _ in range(reps)])
+                for _ in range(n)
+            ]
+            for s in range(nsteps):
+                cols = [
+                    p[s * per_step : (s + 1) * per_step].reshape(group, b_local)
+                    for p in perms
+                ]
+                yield np.concatenate(cols, axis=1).astype(np.int32)
+            return
         per_step = batch_size * group
         nsteps = num_steps or max(self.num_utts // per_step, 1)
         need = nsteps * per_step
@@ -130,12 +173,40 @@ def gather_batch(corpus_data: Dict[str, jax.Array], idx: jax.Array) -> Dict[str,
     }
 
 
-def make_device_wgan_step(base_step, n_critic: int):
+def make_sharded_gather(mesh):
+    """shard_map gather for a corpus partitioned over the ``data`` axis:
+    each device looks up its local index block in its local corpus shard —
+    the batch comes out sharded over ``data`` with no corpus movement."""
+    from jax.sharding import PartitionSpec as P
+
+    corpus_spec = {"lab": P("data"), "cmp": P("data"), "mask": P("data")}
+    out_spec = {
+        "lab": P(None, "data"),
+        "cmp": P(None, "data"),
+        "mask": P(None, "data"),
+    }
+
+    def local_gather(corpus_data, idx):
+        # corpus_data leaves: (N/n, ...) local shard; idx: (group, B/n) local
+        return gather_batch(corpus_data, idx)
+
+    return jax.shard_map(
+        local_gather,
+        mesh=mesh,
+        in_specs=(corpus_spec, P(None, "data")),
+        out_specs=out_spec,
+    )
+
+
+def make_device_wgan_step(base_step, n_critic: int, sharded_mesh=None):
     """Wrap a WGAN step to take (state, corpus_data, idx) with idx
-    (n_critic+1, B): the critic/generator batches are gathered on device."""
+    (n_critic+1, B): the critic/generator batches are gathered on device.
+    ``sharded_mesh``: the corpus is partitioned over the mesh's ``data``
+    axis and gathered with shard_map (idx values are shard-local)."""
+    gather = make_sharded_gather(sharded_mesh) if sharded_mesh is not None else gather_batch
 
     def step(state, corpus_data, idx):
-        batches = gather_batch(corpus_data, idx)  # leading (n_critic+1, B)
+        batches = gather(corpus_data, idx)  # leading (n_critic+1, B)
         critic_b = {k: v[:n_critic] for k, v in batches.items()}
         gen_b = {k: v[n_critic] for k, v in batches.items()}
         return base_step(state, critic_b, gen_b)
@@ -143,11 +214,12 @@ def make_device_wgan_step(base_step, n_critic: int):
     return step
 
 
-def make_device_lse_step(base_step):
+def make_device_lse_step(base_step, sharded_mesh=None):
     """Wrap an LSE step to take (state, corpus_data, idx) with idx (1, B)."""
+    gather = make_sharded_gather(sharded_mesh) if sharded_mesh is not None else gather_batch
 
     def step(state, corpus_data, idx):
-        batches = gather_batch(corpus_data, idx)
+        batches = gather(corpus_data, idx)
         batch = {k: v[0] for k, v in batches.items()}
         return base_step(state, batch)
 

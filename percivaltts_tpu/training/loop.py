@@ -139,6 +139,7 @@ class Trainer:
                     else "float32"
                 ),
                 mesh=mesh,
+                shard_corpus=cfg.train.shard_corpus,
             )
 
         if cfg.train.trainer == "wgan":
@@ -147,7 +148,11 @@ class Trainer:
                 from percivaltts_tpu.data.device_corpus import make_device_wgan_step
 
                 self._wgan_step = jax.jit(
-                    make_device_wgan_step(base, cfg.train.n_critic),
+                    make_device_wgan_step(
+                        base,
+                        cfg.train.n_critic,
+                        sharded_mesh=mesh if cfg.train.shard_corpus else None,
+                    ),
                     donate_argnums=(0,),
                 )
             else:
@@ -160,7 +165,10 @@ class Trainer:
                 from percivaltts_tpu.data.device_corpus import make_device_lse_step
 
                 self._lse_step = jax.jit(
-                    make_device_lse_step(base), donate_argnums=(0,)
+                    make_device_lse_step(
+                        base, sharded_mesh=mesh if cfg.train.shard_corpus else None
+                    ),
+                    donate_argnums=(0,),
                 )
             else:
                 self._lse_step = jax.jit(base, donate_argnums=(0,))
