@@ -44,6 +44,15 @@ class Vocoder:
 
     # -- core ------------------------------------------------------------ #
 
+    @staticmethod
+    def _check_wav(wav: np.ndarray) -> np.ndarray:
+        wav = np.asarray(wav, np.float32)
+        if wav.ndim != 1 or wav.size == 0:
+            raise ValueError(
+                f"expected a non-empty 1-D waveform, got shape {wav.shape}"
+            )
+        return wav
+
     def analyze(self, wav: np.ndarray) -> np.ndarray:
         """waveform (n,) float32 in [-1, 1] → (frames, feature_size)."""
         raise NotImplementedError

@@ -72,6 +72,7 @@ class MelSpecVocoder(Vocoder):
     kind = "melspec"
 
     def analyze(self, wav: np.ndarray) -> np.ndarray:
+        wav = self._check_wav(wav)
         c = self.cfg
         hop = c.shift_samples
         nf = int(np.ceil(len(wav) / hop))

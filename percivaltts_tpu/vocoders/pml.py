@@ -239,6 +239,7 @@ class PMLVocoder(Vocoder):
     kind = "pml"
 
     def _pad_wav(self, wav: np.ndarray) -> Tuple[np.ndarray, int]:
+        wav = self._check_wav(wav)
         hop = self.cfg.shift_samples
         nf = int(np.ceil(len(wav) / hop))
         nf_pad = -(-nf // FRAME_MULTIPLE) * FRAME_MULTIPLE

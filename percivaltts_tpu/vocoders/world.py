@@ -33,6 +33,7 @@ class WorldVocoder(Vocoder):
     kind = "world"
 
     def analyze(self, wav: np.ndarray) -> np.ndarray:
+        wav = self._check_wav(wav)
         c = self.cfg
         hop = c.shift_samples
         nf = int(np.ceil(len(wav) / hop))
