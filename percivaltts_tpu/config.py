@@ -98,9 +98,8 @@ class DataConfig:
     # threaded through every loss/metric. This replaces the reference's
     # pad-to-batch-max dynamic shapes, which would force XLA recompilation.
     batch_size: int = 32
+    # utterances longer than the largest bound are randomly cropped to it
     bucket_bounds: Tuple[int, ...] = (256, 512, 768, 1024)
-    # crop long utterances to this many frames during training (0 = off)
-    max_frames: int = 1024
     label_dim: int = 425  # question-set binarization output dim (demo value)
     shuffle_seed: int = 42
 
