@@ -131,6 +131,10 @@ class ModelConfig:
     critic_channels: int = 32
     critic_blocks: int = 4
     critic_hidden: int = 256
+    # per WGAN-GP practice the critic never uses batch norm; "layer" (default)
+    # or "none" (the reference's likely plain-conv critic; also removes the
+    # norm layers' HBM-bound elementwise passes)
+    critic_norm: str = "layer"
     # numerics: bf16 compute with f32 master weights/optimizer state
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"

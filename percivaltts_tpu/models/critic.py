@@ -37,8 +37,16 @@ class Critic(nn.Module):
     hidden: int = 256
     kernel: Tuple[int, int] = (5, 5)
     conv_style: str = "time1d"
+    norm: str = "layer"  # "layer" | "none"
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+
+    def _norm(self, x, name, dt, pdt):
+        if self.norm == "layer":
+            return nn.LayerNorm(dtype=dt, param_dtype=pdt, name=name)(x)
+        if self.norm == "none":
+            return x
+        raise ValueError(f"unknown critic norm: {self.norm}")
 
     @nn.compact
     def __call__(self, cmp: jax.Array, lab: jax.Array, mask: jax.Array) -> jax.Array:
@@ -76,7 +84,7 @@ class Critic(nn.Module):
                     param_dtype=pdt,
                     name=f"spec_conv{i}",
                 )(x)
-                x = nn.LayerNorm(dtype=dt, param_dtype=pdt, name=f"spec_ln{i}")(x)
+                x = self._norm(x, f"spec_ln{i}", dt, pdt)
             # pool frequency, keep (B, T', C)
             x = x.mean(axis=2)
         elif self.conv_style == "time1d":
@@ -93,7 +101,7 @@ class Critic(nn.Module):
                     self.hidden, kt, strides=(stride,),
                     dtype=dt, param_dtype=pdt, name=f"spec_conv{i}",
                 )(x)
-                x = nn.LayerNorm(dtype=dt, param_dtype=pdt, name=f"spec_ln{i}")(x)
+                x = self._norm(x, f"spec_ln{i}", dt, pdt)
         else:
             raise ValueError(f"unknown conv_style: {self.conv_style}")
 
@@ -142,6 +150,7 @@ def build_critic(model_cfg: ModelConfig, vocoder: VocoderConfig) -> Critic:
         blocks=model_cfg.critic_blocks,
         hidden=model_cfg.critic_hidden,
         conv_style=model_cfg.conv_style,
+        norm=model_cfg.critic_norm,
         compute_dtype=model_cfg.compute_dtype,
         param_dtype=model_cfg.param_dtype,
     )

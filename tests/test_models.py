@@ -78,6 +78,26 @@ def test_critic_scalar_output_and_mask_invariance(style):
     np.testing.assert_allclose(np.asarray(score), np.asarray(score2), atol=2e-4)
 
 
+def test_critic_norm_none():
+    mcfg = ModelConfig(critic_channels=4, critic_blocks=2, critic_hidden=32,
+                       compute_dtype="float32", critic_norm="none")
+    critic = build_critic(mcfg, VOC)
+    lab, mask = _batch()
+    cmp = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 64, VOC.feature_size)).astype(np.float32)
+    )
+    params = critic.init(jax.random.key(0), cmp, lab, mask)
+    # no LayerNorm parameters anywhere
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    assert not any("ln" in "/".join(str(k) for k in path) for path, _ in flat)
+    score = jax.jit(critic.apply)(params, cmp, lab, mask)
+    assert score.shape == (2,) and bool(jnp.all(jnp.isfinite(score)))
+    with pytest.raises(ValueError, match="unknown critic norm"):
+        build_critic(
+            ModelConfig(critic_norm="batch", compute_dtype="float32"), VOC
+        ).init(jax.random.key(0), cmp, lab, mask)
+
+
 def test_critic_gradient_flows():
     mcfg = ModelConfig(critic_channels=4, critic_blocks=2, critic_hidden=32,
                        compute_dtype="float32")
