@@ -2,15 +2,17 @@
 
 Reference parity: percivaltts's convolutional critic (SURVEY.md §2 "Critic"
 — reference location ``models_critic.py`` or inside the WGAN optimizer
-module): a 2D conv stack over the spectral feature map, a dense path for the
+module): a conv stack over the spectral feature map, a dense path for the
 f0/noise-mask streams, conditioning on the input labels, merged to one scalar
-score per sequence. Per WGAN-GP practice there is **no batch norm** — layer
-norm only — since the gradient penalty is computed per-sample.
+score per sequence. Per WGAN-GP practice there is **no batch norm** (the
+gradient penalty is per-sample); ``norm`` selects layer norm (default) or
+none (the reference's plain-conv critic; ~10% faster on v5e).
 
-TPU-first notes: strided 2D convs over the static (T, freq) image keep the
-critic MXU-bound; the label conditioning path is a frame-wise dense stack
-(batched matmul); masked mean-pooling (not flatten) makes the score
-length-aware without dynamic shapes.
+TPU-first notes: strided time-1D convs at full hidden width (conv_style
+``time1d``, default) or the reference-faithful 2D image convs (``2d``); the
+label conditioning path is a frame-wise dense stack (batched matmul); masked
+mean-pooling (not flatten) makes the score length-aware without dynamic
+shapes.
 """
 
 from __future__ import annotations

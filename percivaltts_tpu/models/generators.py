@@ -9,10 +9,11 @@ rows). All map ``(batch, frames, label_dim) → (batch, frames, feat_dim)``.
 TPU-first design notes:
 * Frame-wise dense layers are ``(B*T, D) @ (D, H)`` matmuls — large, batched,
   MXU-shaped. Hidden sizes default to multiples of 128.
-* The BLSTM runs as a ``lax.scan`` over time via flax's RNN wrapper —
-  compiled once per bucket length; no Python-level time loops.
-* The CNN generator's 2D convs run over a static (T, freq) image so XLA can
-  tile them onto the MXU; bf16 compute with f32 params.
+* BLSTM/BGRU layers run both directions in ONE fused, unrolled ``lax.scan``
+  (models/rnn.py) — compiled once per bucket length, no Python time loops.
+* The CNN generator defaults to MXU-aligned time-1D convs (conv_style
+  ``time1d``); ``2d`` keeps the reference-faithful (T, freq) image convs.
+  bf16 compute with f32 params throughout.
 * No data-dependent shapes anywhere: padding is handled by the caller's
   masks, not by dynamic slicing.
 """
