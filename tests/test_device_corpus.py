@@ -65,6 +65,30 @@ def test_epoch_indices_cover_and_cycle():
     assert not np.array_equal(a, b)
 
 
+def test_device_corpus_with_ondevice_norm(tmp_path):
+    """All flagship input-path features composed: raw features resident in
+    HBM, normalization fused into the jitted step, WGAN trainer."""
+    from percivaltts_tpu.data.normalize import compute_meanstd, compute_minmax
+
+    ds = _ds(n=16)
+    in_stats = compute_minmax(ds.labs)
+    out_stats = compute_meanstd(ds.cmps)
+    cfg = Configuration(
+        workdir=str(tmp_path / "exp"),
+        data=DataConfig(batch_size=4, bucket_bounds=(64,), label_dim=LDIM),
+        vocoder=VOC,
+        model=ModelConfig(generator="fc", hidden_size=16, num_layers=1,
+                          critic_channels=2, critic_blocks=2, critic_hidden=16,
+                          compute_dtype="float32"),
+        train=TrainConfig(trainer="wgan", n_critic=2, epochs=2, lr_gen=1e-3,
+                          device_corpus=True, steps_per_epoch=3, patience=10),
+    )
+    t = Trainer(cfg, ds, in_stats=in_stats, out_stats=out_stats)
+    hist = t.train()
+    assert all(np.isfinite(h["loss"]) for h in hist["train"])
+    t.close()
+
+
 def test_device_corpus_on_mesh(tmp_path):
     """DP mesh: corpus replicated, per-step indices sharded over 'data'."""
     from percivaltts_tpu.parallel import make_mesh
