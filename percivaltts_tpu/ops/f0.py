@@ -113,6 +113,9 @@ def estimate_f0(
     )
     f0_frame = fs / jnp.maximum(tau_refined, 1.0)
     f0_frame = jnp.clip(f0_frame, f0_min, f0_max)
+    # 5-frame median filter: the standard YIN post-process suppressing
+    # isolated octave/period errors without smearing real f0 movement
+    f0_frame = _median5(f0_frame)
     raw = jnp.where(voiced, f0_frame, 0.0)
 
     f0_cont = _interp_through_unvoiced(raw, voiced)
@@ -122,6 +125,19 @@ def estimate_f0(
         raw_f0=raw,
         aperiodicity=ap,
     )
+
+
+def _median5(x: jax.Array) -> jax.Array:
+    """Vectorized 5-tap median along a 1-D track (edge-replicated)."""
+    pads = [
+        jnp.concatenate([jnp.repeat(x[:1], k), x[: x.shape[0] - k]]) if k > 0 else x
+        for k in range(3)
+    ]
+    lags = [
+        jnp.concatenate([x[k:], jnp.repeat(x[-1:], k)]) for k in range(1, 3)
+    ]
+    stack = jnp.stack(pads + lags, axis=0)  # (5, nf)
+    return jnp.median(stack, axis=0)
 
 
 def _interp_through_unvoiced(raw: jax.Array, voiced: jax.Array) -> jax.Array:
