@@ -218,6 +218,18 @@ class Configuration:
                 sub["stream_weights"] = tuple(
                     (str(n), float(w)) for n, w in sub["stream_weights"]
                 )
+            # forward/backward compatibility: configs written by other
+            # versions may carry fields this version doesn't know — ignore
+            # them (with a note) instead of refusing to load
+            known = {f.name for f in dataclasses.fields(klass)}
+            unknown = set(sub) - known
+            if unknown:
+                import warnings
+
+                warnings.warn(
+                    f"config section {key!r}: ignoring unknown fields {sorted(unknown)}"
+                )
+                sub = {k: v for k, v in sub.items() if k in known}
             return klass(**sub)
 
         return cls(

@@ -31,6 +31,22 @@ def test_weighted_masked_mse():
     np.testing.assert_allclose(float(masked_mse(pred, targ, mask, w2)), 2 * base, rtol=1e-6)
 
 
+def test_config_ignores_unknown_fields(tmp_path):
+    import json
+    import warnings
+
+    d = Configuration().to_dict()
+    d["data"]["legacy_field"] = 7
+    p = str(tmp_path / "cfg.json")
+    with open(p, "w") as f:
+        json.dump(d, f)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = Configuration.load(p)
+    assert any("legacy_field" in str(x.message) for x in w)
+    assert cfg.data.batch_size == Configuration().data.batch_size
+
+
 def test_config_roundtrip_with_stream_weights(tmp_path):
     cfg = Configuration(
         workdir=str(tmp_path),
