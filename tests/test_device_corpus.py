@@ -65,6 +65,28 @@ def test_epoch_indices_cover_and_cycle():
     assert not np.array_equal(a, b)
 
 
+def test_device_corpus_resume(tmp_path):
+    cfg = Configuration(
+        workdir=str(tmp_path / "exp"),
+        data=DataConfig(batch_size=4, bucket_bounds=(64,), label_dim=LDIM),
+        vocoder=VOC,
+        model=ModelConfig(generator="fc", hidden_size=16, num_layers=1,
+                          compute_dtype="float32"),
+        train=TrainConfig(trainer="lse", epochs=2, lr_gen=2e-3,
+                          device_corpus=True, steps_per_epoch=3, patience=10),
+    )
+    ds = _ds(n=16)
+    t = Trainer(cfg, ds)
+    t.train()
+    t.close()
+    t2 = Trainer(cfg, ds)
+    assert t2.resume()
+    assert int(t2.state.epoch) == 2
+    hist = t2.train(epochs=4)  # continues from epoch 2
+    assert len(hist["train"]) == 2
+    t2.close()
+
+
 def test_device_corpus_with_ondevice_norm(tmp_path):
     """All flagship input-path features composed: raw features resident in
     HBM, normalization fused into the jitted step, WGAN trainer."""
