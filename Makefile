@@ -15,6 +15,12 @@ demo:
 	$(PYTHON) -m percivaltts_tpu.cli demo --out demo_corpus
 	$(PYTHON) -m percivaltts_tpu.cli compose --config demo_corpus/config.json
 
+# full tiny pipeline on the generated corpus: train → generate → plot
+demo-e2e: demo
+	$(PYTHON) -m percivaltts_tpu.cli train    --config demo_corpus/config.json
+	$(PYTHON) -m percivaltts_tpu.cli generate --config demo_corpus/config.json
+	$(PYTHON) -m percivaltts_tpu.cli plot     --config demo_corpus/config.json
+
 bench:
 	$(PYTHON) bench.py
 

@@ -32,14 +32,25 @@ def cmd_demo(args) -> int:
     from percivaltts_tpu.data.demo import generate_demo_corpus
 
     generate_demo_corpus(args.out, num_utterances=args.num, seed=args.seed)
-    # also drop a ready-to-edit config pointing at the corpus
-    cfg = Configuration(
-        workdir=os.path.join(args.out, "exp"),
-    ).replace()
+    # drop a ready-to-edit config SIZED FOR the miniature corpus (small
+    # model, few epochs, f32 so it also runs quickly on CPU); production
+    # configs should start from Configuration() defaults instead
+    cfg = Configuration(workdir=os.path.join(args.out, "exp"))
     d = cfg.to_dict()
-    d["data"]["corpus_dir"] = args.out
-    d["data"]["fileids"] = os.path.join(args.out, "fileids.scp")
-    d["data"]["question_file"] = os.path.join(args.out, "questions.hed")
+    d["data"].update(
+        corpus_dir=args.out,
+        fileids=os.path.join(args.out, "fileids.scp"),
+        question_file=os.path.join(args.out, "questions.hed"),
+        batch_size=4,
+        bucket_bounds=[256],
+        num_valid=max(args.num // 8, 1),
+        num_test=max(args.num // 8, 1),
+    )
+    d["vocoder"].update(spec_size=33, nm_size=17)
+    d["model"].update(generator="cnn", hidden_size=64, cnn_blocks=2,
+                      critic_hidden=64, compute_dtype="float32")
+    d["train"].update(trainer="lse", epochs=30, lr_gen=2e-3, patience=10,
+                      checkpoint_every=5)
     cfg_path = os.path.join(args.out, "config.json")
     with open(cfg_path, "w") as f:
         json.dump(d, f, indent=2, sort_keys=True)
