@@ -203,6 +203,57 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_measures(args) -> int:
+    """Objective measures between two directories of per-utterance feature
+    files (headerless float32, reference-bit-compatible) — the parity gate
+    tool: point --ref at features produced by the Keras reference and --pred
+    at this framework's (BASELINE.md)."""
+    import glob as _glob
+
+    import numpy as np
+
+    from percivaltts_tpu.eval.measures import f0_rmse, mcd, vuv_error
+    from percivaltts_tpu.utils.fileio import load_binary_file
+    from percivaltts_tpu.vocoders import get_vocoder
+
+    cfg = _load_config(args.config)
+    voc = get_vocoder(cfg.vocoder)
+    dim = voc.feature_size
+    ref_files = {
+        os.path.basename(p): p
+        for p in _glob.glob(os.path.join(args.ref, "*" + args.ext))
+    }
+    if not ref_files:
+        raise FileNotFoundError(f"no {args.ext} files in {args.ref}")
+    mcds, f0s, vuvs, matched = [], [], [], 0
+    for name, rp in sorted(ref_files.items()):
+        pp = os.path.join(args.pred, name)
+        if not os.path.exists(pp):
+            continue
+        matched += 1
+        ref = load_binary_file(rp, dim)
+        pred = load_binary_file(pp, dim)
+        n = min(len(ref), len(pred))
+        mcds.append(float(mcd(voc.cepstra(pred[:n]), voc.cepstra(ref[:n]))))
+        try:
+            f0p, vp = voc.f0_vuv(pred[:n])
+            f0r, vr = voc.f0_vuv(ref[:n])
+            f0s.append(float(f0_rmse(f0p, f0r, vp, vr)))
+            vuvs.append(float(vuv_error(vp, vr)))
+        except NotImplementedError:
+            pass
+    if not matched:
+        raise FileNotFoundError(
+            f"no files in {args.pred} match the names in {args.ref}"
+        )
+    out = {"files": matched, "mcd_db": float(np.mean(mcds))}
+    if f0s:
+        out["f0_rmse_hz"] = float(np.mean(f0s))
+        out["vuv_error_pct"] = float(np.mean(vuvs))
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_plot(args) -> int:
     from percivaltts_tpu.utils.curves import plot_curves
 
@@ -240,6 +291,16 @@ def main(argv=None) -> int:
         "batches on device (overrides TrainConfig.device_corpus)",
     )
     pt.set_defaults(fn=cmd_train)
+
+    pm = sub.add_parser(
+        "measures",
+        help="objective measures between two feature-file directories (parity gate)",
+    )
+    pm.add_argument("--config", required=True)
+    pm.add_argument("--ref", required=True, help="reference feature dir")
+    pm.add_argument("--pred", required=True, help="predicted feature dir")
+    pm.add_argument("--ext", default=".cmp", help="feature file extension")
+    pm.set_defaults(fn=cmd_measures)
 
     ps = sub.add_parser("synth", help="synthesize wavs from HTS label files (pure inference)")
     ps.add_argument("--config", required=True)

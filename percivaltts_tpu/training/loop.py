@@ -249,24 +249,29 @@ class Trainer:
                     nf = float(critic_b["mask"].sum() + gen_b["mask"].sum())
                     yield cb, self._put(gen_b), nf
 
+            metrics_log = []
             for cb, gb, nf in prefetch(prepared()):
                 self.state, m = self._wgan_step(self.state, cb, gb)
                 nsteps += 1
                 frames += nf
-                for k, v in m.items():
-                    agg[k] = agg.get(k, 0.0) + float(v)
+                metrics_log.append(m)
         else:
 
             def prepared():
                 for b in batches:
                     yield self._put(b), float(b["mask"].sum())
 
+            metrics_log = []
             for gb, nf in prefetch(prepared()):
                 self.state, m = self._lse_step(self.state, gb)
                 nsteps += 1
                 frames += nf
-                for k, v in m.items():
-                    agg[k] = agg.get(k, 0.0) + float(v)
+                metrics_log.append(m)
+        # one batched readback (per-scalar float() costs a tunnel RTT each);
+        # blocks until the dispatched chain finishes, so dt is honest
+        for m in jax.device_get(metrics_log):
+            for k, v in m.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
         dt = time.time() - t0
         out = {k: v / max(nsteps, 1) for k, v in agg.items()}
         out.update(steps=nsteps, sec=dt, frames_per_sec=frames / max(dt, 1e-9))
