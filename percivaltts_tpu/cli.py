@@ -9,8 +9,13 @@ workdir (plus checkpoints + stats) instead of code cloning.
 Usage:
     python -m percivaltts_tpu.cli demo --out corpus/ [--num 20]
     python -m percivaltts_tpu.cli compose --config cfg.json
-    python -m percivaltts_tpu.cli train --config cfg.json [--resume]
+    python -m percivaltts_tpu.cli train --config cfg.json
+        [--resume] [--mesh] [--on-device-norm] [--device-corpus]
     python -m percivaltts_tpu.cli generate --config cfg.json
+        [--checkpoint N | --latest] [--split test|valid] [--no-wav]
+    python -m percivaltts_tpu.cli synth --config cfg.json labels/*.lab
+    python -m percivaltts_tpu.cli measures --config cfg.json --ref D1 --pred D2
+    python -m percivaltts_tpu.cli plot --config cfg.json
 """
 
 from __future__ import annotations
