@@ -111,6 +111,20 @@ def read_f32(path: str, dim: int) -> np.ndarray:
     return out.reshape(-1, dim)
 
 
+def write_f32(path: str, arr: np.ndarray) -> bool:
+    """Native raw-float32 feature-file write. Returns False when the native
+    library is unavailable (caller falls back to numpy), raises on a short
+    write."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    arr = np.ascontiguousarray(arr, dtype=np.float32)
+    put = lib.pn_write_f32(path.encode(), _fptr(arr), arr.size)
+    if put != arr.size:
+        raise IOError(f"{path}: short write {put}/{arr.size}")
+    return True
+
+
 def assemble_batch(
     arrays: Sequence[np.ndarray],
     offsets: Sequence[int],

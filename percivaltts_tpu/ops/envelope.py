@@ -28,10 +28,13 @@ def spectral_envelope(
 
     Returns ``(env_smooth, env_te)``: the plain cepstrally-smoothed envelope
     and the true-envelope refinement (Röbel & Rodet). TE rides spectral
-    *maxima* — right for harmonic combs, but on noise spectra it sits
-    2–4 dB above the mean magnitude, so callers should select per frame by
-    voicing (PML analysis uses env_te on voiced frames, env_smooth on
-    unvoiced ones).
+    *maxima* — exact for harmonic combs; on noise spectra it sits 2–4 dB
+    above the mean magnitude. PML analysis nevertheless uses env_te on ALL
+    frames: per-frame selection by voicing was tried and measured worse on
+    copy-synthesis MCD, because the estimator flips wherever the voicing
+    decision differs between two analyses of near-identical audio (see the
+    measurement note in ``vocoders/pml.py``). A consistent estimator beats a
+    per-frame-optimal one for parity metrics.
 
     The lifter keeps quefrencies below the per-frame pitch period (cutoff
     ``fs / (1.3 · f0)`` samples, the classic choice that removes the

@@ -19,9 +19,14 @@ import numpy as np
 
 def load_binary_file(path: str, dim: int, dtype=np.float32) -> np.ndarray:
     """Load a headerless binary feature file as ``(frames, dim)``."""
-    data = np.fromfile(path, dtype=dtype)
     if dim <= 0:
         raise ValueError(f"dim must be positive, got {dim}")
+    if dtype == np.float32:
+        from percivaltts_tpu import native
+
+        if native.available():
+            return native.read_f32(path, dim)
+    data = np.fromfile(path, dtype=dtype)
     if data.size % dim != 0:
         raise ValueError(
             f"{path}: size {data.size} is not a multiple of dim {dim}"
@@ -32,4 +37,10 @@ def load_binary_file(path: str, dim: int, dtype=np.float32) -> np.ndarray:
 def save_binary_file(path: str, arr: np.ndarray, dtype=np.float32) -> None:
     """Save ``(frames, dim)`` float features as a headerless binary file."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.ascontiguousarray(arr, dtype=dtype).tofile(path)
+    arr = np.ascontiguousarray(arr, dtype=dtype)
+    if dtype == np.float32:
+        from percivaltts_tpu import native
+
+        if native.write_f32(path, arr):
+            return
+    arr.tofile(path)

@@ -63,8 +63,11 @@ class Vocoder:
         instead of one per utterance (compose-stage hot path on TPU)."""
         return [self.analyze(w) for w in wavs]
 
-    def synthesize(self, feats: np.ndarray) -> np.ndarray:
-        """(frames, feature_size) → waveform (frames · shift_samples,)."""
+    def synthesize(self, feats: np.ndarray, seed: int = 0) -> np.ndarray:
+        """(frames, feature_size) → waveform (frames · shift_samples,).
+
+        ``seed`` keys the stochastic (noise) component of vocoders that have
+        one; deterministic vocoders ignore it."""
         raise NotImplementedError
 
     # -- measure hooks ---------------------------------------------------- #
