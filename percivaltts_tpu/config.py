@@ -36,6 +36,14 @@ class VocoderConfig:
     nm_size: int = 33  # warped noise-mask / aperiodicity dim
     f0_min: float = 60.0
     f0_max: float = 400.0
+    # spectral-envelope estimator: "cheaptrick" (f0-adaptive, amplitude
+    # convention — the copy-synthesis-accurate default) or "te"
+    # (true-envelope over a fixed window, STFT-magnitude convention — the
+    # round-1 estimator, kept for regression comparison)
+    envelope: str = "cheaptrick"
+    # radius (frames) of triangular time-smoothing of the power spectrum
+    # before envelope estimation; cuts estimator variance on noise regions
+    env_time_smooth: int = 1
     # mel-spectrogram variant (BASELINE config 4)
     mel_size: int = 80
 

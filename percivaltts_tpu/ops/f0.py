@@ -40,7 +40,15 @@ def _next_pow2(n: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fs", "hop", "f0_min", "f0_max", "threshold")
+    jax.jit,
+    static_argnames=(
+        "fs",
+        "hop",
+        "f0_min",
+        "f0_max",
+        "threshold",
+        "voicing_threshold",
+    ),
 )
 def estimate_f0(
     x: jax.Array,
@@ -49,8 +57,16 @@ def estimate_f0(
     f0_min: float = 60.0,
     f0_max: float = 400.0,
     threshold: float = 0.15,
+    voicing_threshold: float = 0.55,
 ) -> F0Result:
-    """YIN f0 track of a 1-D signal at frame rate ``fs/hop``."""
+    """YIN f0 track of a 1-D signal at frame rate ``fs/hop``.
+
+    ``threshold`` is YIN's trough-selection threshold; ``voicing_threshold``
+    is the CMND value below which a frame counts as voiced. The voicing gate
+    is deliberately permissive: a voiced frame whose noise mask says ~30% of
+    its power is aperiodic sits at CMND ≈ 2ν/(1+ν) ≈ 0.45, and vocoder
+    resynthesis must read the same voicing decision back (copy-synthesis
+    consistency); true noise frames sit near CMND ≈ 1 either way."""
     tau_min = max(int(fs / f0_max), 2)
     tau_max = int(math.ceil(fs / f0_min)) + 1
     W = tau_max * 2  # integration window: two max-periods
@@ -81,8 +97,12 @@ def estimate_f0(
         axis=-1,
     )
 
-    # lag selection: first trough below threshold in [tau_min, tau_max),
-    # else the global minimum
+    # lag selection: first trough below threshold in [tau_min, tau_max).
+    # Fallback for noisy-but-voiced frames (no trough clears the strict
+    # threshold): the first trough within a small margin of the global
+    # trough minimum — NOT the global minimum itself, whose cumulative-mean
+    # normalization is biased low at long lags and systematically picks the
+    # subharmonic (period doubling) on harmonic+noise frames.
     valid = (tau >= tau_min) & (tau < tau_max - 1)
     left = jnp.concatenate([dn[:, :1], dn[:, :-1]], axis=-1)
     right = jnp.concatenate([dn[:, 1:], dn[:, -1:]], axis=-1)
@@ -90,8 +110,14 @@ def estimate_f0(
     below = trough & (dn < threshold)
     has_below = below.any(axis=-1)
     first_below = jnp.argmax(below, axis=-1)
+    dn_tr = jnp.where(trough, dn, jnp.inf)
+    has_trough = trough.any(axis=-1)
+    tr_min = jnp.min(dn_tr, axis=-1)
+    near_min = trough & (dn <= (tr_min + 0.05)[:, None])
+    first_near = jnp.argmax(near_min, axis=-1)
     global_min = jnp.argmin(jnp.where(valid[None, :], dn, jnp.inf), axis=-1)
-    tau_star = jnp.where(has_below, first_below, global_min)
+    fallback = jnp.where(has_trough, first_near, global_min)
+    tau_star = jnp.where(has_below, first_below, fallback)
 
     # parabolic interpolation around the chosen lag
     i = jnp.clip(tau_star, 1, tau_max - 2)
@@ -108,7 +134,7 @@ def estimate_f0(
     ap = d0
     # voicing: trough quality + minimum energy
     energy = E0[:, 0]
-    voiced = (ap < jnp.float32(max(threshold * 2.0, 0.3))) & (
+    voiced = (ap < jnp.float32(voicing_threshold)) & (
         energy > 1e-6 * jnp.maximum(jnp.max(energy), 1e-20)
     )
     f0_frame = fs / jnp.maximum(tau_refined, 1.0)

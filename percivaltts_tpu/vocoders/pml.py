@@ -37,15 +37,127 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from percivaltts_tpu.ops.cheaptrick import (
+    CAL,
+    DEFAULT_UNVOICED_F0,
+    cheaptrick_envelope,
+)
 from percivaltts_tpu.ops.envelope import spectral_envelope
 from percivaltts_tpu.ops.f0 import estimate_f0
-from percivaltts_tpu.ops.stft import hann_window, istft, stft
-from percivaltts_tpu.ops.warp import unwarp_matrix, warp_matrix
+from percivaltts_tpu.ops.stft import frame_signal, hann_window, istft, stft
+from percivaltts_tpu.ops.warp import _band_centers_hz, unwarp_matrix, warp_matrix
 from percivaltts_tpu.vocoders.base import Vocoder, register
+
+# Calibration of the stochastic component for the "cheaptrick"
+# (amplitude-convention) synthesis, fixing the analyze→synthesize→analyze
+# loop on noise bands. Two opposing measured effects: the envelope
+# estimator's log-domain smoothing reads stationary noise ~0.13 nats below
+# the analytic prediction (Jensen bias), while synthesis-side pitch
+# modulation and the istft/OLA chain read back ~0.16 nats hot; the net
+# constant is pinned by the nm=1 roundtrip measurement (envelope bias ≈ 0,
+# noise-mask roundtrip ≈ neutral — tests/test_vocoder_pml.py).
+NOISE_CAL = 0.97
 
 # utterances are padded to a multiple of this many frames before the jitted
 # cores run (bounded compile-variant count)
 FRAME_MULTIPLE = 128
+
+# peak/valley noise-mask estimator: ratio of the harmonic mainlobe's
+# integrated power to its peak value for the 4·T0 Hann window, in units of
+# the per-f0-interval noise integral (analytically 3/8 = the Hann equivalent
+# noise bandwidth ratio; calibrated on synthetic harmonic+noise mixtures —
+# see tests/test_cheaptrick.py::test_noise_mask_calibration)
+NM_RHO = 0.375
+
+
+def _lerp_cols(M: jax.Array, pos: jax.Array) -> jax.Array:
+    """Batched linear interpolation along the last axis: M (nf, n) at
+    fractional positions pos (nf, m) → (nf, m)."""
+    n = M.shape[-1]
+    p = jnp.clip(pos, 0.0, n - 1.000001)
+    i0 = jnp.floor(p).astype(jnp.int32)
+    fr = p - i0.astype(M.dtype)
+    lo = jnp.take_along_axis(M, i0, axis=-1)
+    hi = jnp.take_along_axis(M, i0 + 1, axis=-1)
+    return lo * (1.0 - fr) + hi * fr
+
+
+def _smooth_unvoiced(x: jax.Array, vuv: jax.Array, radius: int = 3) -> jax.Array:
+    """Box-smooth (frames, bands) features over time WITHIN unvoiced runs.
+
+    Unvoiced spectra are stationary noise whose envelope estimate carries
+    irreducible per-frame variance; averaging across neighboring unvoiced
+    frames cuts it without touching voiced frames or smearing across
+    voicing boundaries (neighbors are masked by their own voicing)."""
+    unv = (vuv < 0.5).astype(x.dtype)[:, None]
+    nf = x.shape[0]
+    num = x * unv
+    den = unv
+    acc_n, acc_d = num, den
+    for k in range(1, radius + 1):
+        lead_n = jnp.concatenate([num[k:], jnp.zeros_like(num[:k])])
+        lag_n = jnp.concatenate([jnp.zeros_like(num[:k]), num[: nf - k]])
+        lead_d = jnp.concatenate([den[k:], jnp.zeros_like(den[:k])])
+        lag_d = jnp.concatenate([jnp.zeros_like(den[:k]), den[: nf - k]])
+        acc_n = acc_n + lead_n + lag_n
+        acc_d = acc_d + lead_d + lag_d
+    sm = acc_n / jnp.maximum(acc_d, 1.0)
+    return jnp.where(unv > 0.5, sm, x)
+
+
+def _harmonic_noise_mask(
+    wav: jax.Array,
+    f0: jax.Array,
+    fs: int,
+    hop: int,
+    nm_size: int,
+    f0_floor: float,
+) -> jax.Array:
+    """Per-harmonic noise mask mapped to warped bands, (frames, nm_size).
+
+    A 4·T0 f0-adaptive Hann window places exact spectral nulls at the
+    inter-harmonic valleys (k ± ½)·f0, so the valley power is a clean
+    estimate of the noise level per harmonic interval while the peak at
+    k·f0 carries harmonic + noise. The per-harmonic noise fraction
+    ``v / (v + NM_RHO·(p − v))`` is then interpolated at each warped band's
+    center frequency (in harmonic-index space) — well-defined at every band
+    width, unlike band-aggregated autocorrelation (which is blind inside
+    bands narrower than f0)."""
+    import math as _math
+
+    Lnm = int(_math.ceil(4.0 * fs / f0_floor))
+    fftnm = 1 << (Lnm - 1).bit_length()
+    f0c = jnp.clip(f0, f0_floor, fs / 8.0)
+
+    frames4 = frame_signal(wav, Lnm, hop)  # (nf, Lnm) centered at i·hop
+    halfw = 2.0 * fs / f0c  # (nf,) half window = 2·T0
+    t4 = jnp.arange(Lnm, dtype=jnp.float32) - (Lnm // 2)
+    w4 = jnp.where(
+        jnp.abs(t4)[None, :] <= halfw[:, None],
+        0.5 + 0.5 * jnp.cos(jnp.pi * t4[None, :] / halfw[:, None]),
+        0.0,
+    )
+    wsum2 = jnp.maximum(jnp.sum(w4 * w4, axis=-1), 1e-12)
+    X4 = jnp.fft.rfft(frames4 * w4, n=fftnm, axis=-1)
+    P4 = (X4.real * X4.real + X4.imag * X4.imag) / wsum2[:, None]
+
+    K = int(fs / 2.0 / f0_floor)
+    k = jnp.arange(1, K + 1, dtype=jnp.float32)
+    f0bins = f0c * fftnm / fs  # (nf,)
+    kpos = f0bins[:, None] * k[None, :]  # (nf, K)
+    peak = _lerp_cols(P4, kpos)
+    valley = 0.5 * (
+        _lerp_cols(P4, kpos - 0.5 * f0bins[:, None])
+        + _lerp_cols(P4, kpos + 0.5 * f0bins[:, None])
+    )
+    harmpow = jnp.maximum(peak - valley, 0.0)
+    nm_k = valley / jnp.maximum(valley + NM_RHO * harmpow, 1e-20)
+    # harmonics at/above Nyquist carry no deterministic content
+    nm_k = jnp.where((k[None, :] + 0.5) * f0c[:, None] < fs / 2.0, nm_k, 1.0)
+
+    centers = jnp.asarray(_band_centers_hz(nm_size, fs), jnp.float32)
+    hpos = centers[None, :] / f0c[:, None] - 1.0  # harmonic-index space
+    return jnp.clip(_lerp_cols(nm_k, hpos), 0.0, 1.0)
 
 
 @functools.partial(
@@ -59,6 +171,8 @@ FRAME_MULTIPLE = 128
         "nm_size",
         "f0_min",
         "f0_max",
+        "envelope",
+        "env_time_smooth",
     ),
 )
 def pml_analyze_core(
@@ -71,52 +185,87 @@ def pml_analyze_core(
     nm_size: int,
     f0_min: float,
     f0_max: float,
+    envelope: str = "cheaptrick",
+    env_time_smooth: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
-    """waveform → ((frames, 1+spec+nm) features, (frames,) vuv)."""
+    """waveform → ((frames, 1+spec+nm) features, (frames,) vuv).
+
+    ``envelope`` selects the spec-stream estimator and its convention:
+    "cheaptrick" = f0-adaptive log *harmonic amplitude* (ops.cheaptrick);
+    "te" = true-envelope of the fixed-window log STFT magnitude (round-1
+    estimator, kept for regression comparison)."""
     res = estimate_f0(wav, fs, hop, f0_min, f0_max)
     f0, vuv = res.f0, res.vuv
 
     window = hann_window(frame_len)
     spec = stft(wav, frame_len, hop, dftlen, window)  # (nf, bins)
     mag = jnp.abs(spec)
-    logmag = jnp.log(jnp.maximum(mag, 1e-8))
-    # True envelope everywhere. Gating TE by voicing (plain smoothing on
-    # unvoiced frames) was tried and measured WORSE on copy-synthesis MCD
-    # (21.5 vs 20.1 dB): wherever the voicing decision differs between two
-    # analyses of near-identical audio, the estimator flips and adds a
-    # 2–4 dB asymmetry — a consistent estimator beats a per-frame-optimal
-    # one for parity metrics.
-    _, env = spectral_envelope(logmag, f0, fs, dftlen)
+    if envelope == "cheaptrick":
+        # the envelope convention (window length, smoothing width, amplitude
+        # normalization) keys on the CONTINUOUS f0 track for voiced AND
+        # unvoiced frames: the track roundtrips through copy-synthesis at
+        # ~0.1% while voicing decisions flip on ~5-10% of boundary frames —
+        # keying on f0 alone confines a flip's damage to the (voicing-gated)
+        # sub-f0 mirror and Nyquist hold instead of the whole frame
+        env = cheaptrick_envelope(
+            wav,
+            f0,
+            fs,
+            hop,
+            dftlen,
+            f0_floor=min(f0_min, 60.0),
+            time_smooth=env_time_smooth,
+            mirror_mask=vuv,
+        )
+    else:
+        logmag = jnp.log(jnp.maximum(mag, 1e-8))
+        # True envelope everywhere. Gating TE by voicing (plain smoothing on
+        # unvoiced frames) was tried and measured WORSE on copy-synthesis MCD
+        # (21.5 vs 20.1 dB): wherever the voicing decision differs between two
+        # analyses of near-identical audio, the estimator flips and adds a
+        # 2–4 dB asymmetry — a consistent estimator beats a per-frame-optimal
+        # one for parity metrics.
+        _, env = spectral_envelope(logmag, f0, fs, dftlen)
 
     W_spec = jnp.asarray(warp_matrix(spec_size, dftlen, fs))
     spec_w = env @ W_spec  # (nf, spec_size)
+    if envelope == "cheaptrick":
+        spec_w = _smooth_unvoiced(spec_w, vuv)
 
-    # per-band harmonicity: r(τ0)/r(0) from the power spectrum, both as
-    # band-weighted sums; bias-corrected by the window autocorrelation
-    P = jnp.square(mag)
-    W_nm = jnp.asarray(warp_matrix(nm_size, dftlen, fs))
-    tau0 = fs / jnp.maximum(f0, 1.0)  # (nf,) samples
-    bins = P.shape[-1]
-    binidx = jnp.arange(bins, dtype=jnp.float32)
-    cosv = jnp.cos(2.0 * jnp.pi * binidx[None, :] * tau0[:, None] / dftlen)
-    r0 = jnp.maximum(P @ W_nm, 1e-12)
-    rt = (P * cosv) @ W_nm
+    if envelope == "cheaptrick":
+        nm = _harmonic_noise_mask(
+            wav, f0, fs, hop, nm_size, min(f0_min, 60.0)
+        )
+    else:
+        # round-1 estimator: per-band harmonicity r(τ0)/r(0) from the power
+        # spectrum as band-weighted sums, bias-corrected by the window
+        # autocorrelation. Ill-defined for bands narrower than f0 (the cos
+        # weight is nearly constant inside such a band), which is why the
+        # cheaptrick path uses the per-harmonic peak/valley estimator above.
+        P = jnp.square(mag)
+        W_nm = jnp.asarray(warp_matrix(nm_size, dftlen, fs))
+        tau0 = fs / jnp.maximum(f0, 1.0)  # (nf,) samples
+        bins = P.shape[-1]
+        binidx = jnp.arange(bins, dtype=jnp.float32)
+        cosv = jnp.cos(2.0 * jnp.pi * binidx[None, :] * tau0[:, None] / dftlen)
+        r0 = jnp.maximum(P @ W_nm, 1e-12)
+        rt = (P * cosv) @ W_nm
 
-    # window autocorrelation (time domain, via FFT of the window's power
-    # spectrum at full resolution) evaluated at the per-frame real lag τ0.
-    # For a pure harmonic, r(τ0)/r(0) of the *windowed* frame equals exactly
-    # this curve — dividing by it unbiases the harmonicity.
-    n2 = 1 << (2 * frame_len - 1).bit_length()
-    wac = jnp.fft.irfft(jnp.square(jnp.abs(jnp.fft.rfft(window, n=n2))), n=n2)
-    bias_curve = wac[:frame_len] / jnp.maximum(wac[0], 1e-12)
-    ti = jnp.clip(tau0, 0.0, frame_len - 2.0)
-    i0 = jnp.floor(ti).astype(jnp.int32)
-    fr = ti - i0.astype(jnp.float32)
-    bias = bias_curve[i0] * (1.0 - fr) + bias_curve[i0 + 1] * fr
-    bias = jnp.clip(bias, 0.05, 1.0)  # (nf,)
+        # window autocorrelation (time domain, via FFT of the window's power
+        # spectrum at full resolution) evaluated at the per-frame real lag τ0.
+        # For a pure harmonic, r(τ0)/r(0) of the *windowed* frame equals
+        # exactly this curve — dividing by it unbiases the harmonicity.
+        n2 = 1 << (2 * frame_len - 1).bit_length()
+        wac = jnp.fft.irfft(jnp.square(jnp.abs(jnp.fft.rfft(window, n=n2))), n=n2)
+        bias_curve = wac[:frame_len] / jnp.maximum(wac[0], 1e-12)
+        ti = jnp.clip(tau0, 0.0, frame_len - 2.0)
+        i0 = jnp.floor(ti).astype(jnp.int32)
+        fr = ti - i0.astype(jnp.float32)
+        bias = bias_curve[i0] * (1.0 - fr) + bias_curve[i0 + 1] * fr
+        bias = jnp.clip(bias, 0.05, 1.0)  # (nf,)
 
-    harm = jnp.clip((rt / r0) / bias[:, None], 0.0, 1.0)
-    nm = 1.0 - harm
+        harm = jnp.clip((rt / r0) / bias[:, None], 0.0, 1.0)
+        nm = 1.0 - harm
     nm = jnp.where(vuv[:, None] > 0.5, nm, 1.0)
 
     lf0 = jnp.log(jnp.maximum(f0, 1.0))
@@ -221,10 +370,144 @@ def pml_synthesize_core(
         "hop",
         "frame_len",
         "dftlen",
+        "f0_min",
+        "f0_max",
+        "seed",
+        "noise_mod",
+        "min_phase",
+    ),
+)
+def pml_synthesize_amp_core(
+    lf0: jax.Array,
+    spec_w: jax.Array,
+    nm_w: jax.Array,
+    fs: int,
+    hop: int,
+    frame_len: int,
+    dftlen: int,
+    f0_min: float,
+    f0_max: float,
+    seed: int = 0,
+    noise_mod: float = 0.4,
+    min_phase: bool = True,
+) -> jax.Array:
+    """Amplitude-convention (cheaptrick) synthesis: harmonics carry the
+    envelope's *minimum-phase* response (cepstrum → causal-cepstrum fold →
+    Im of the analytic log-spectrum), and the stochastic part is white noise
+    shaped to the per-band power the analyzer will read back
+    (σ(f) = A·√nm / √(f0ₐ·CAL·dftlen/fs), with f0ₐ the f0 the re-analysis
+    will use), pitch-synchronously amplitude-modulated in voiced regions —
+    the pulse-model behavior of the reference's vendored
+    ``external/pulsemodel/synthesis.py`` (file-level cite, mount empty),
+    re-derived as batched spectral ops."""
+    nf = lf0.shape[0]
+    n = nf * hop
+    spec_size = spec_w.shape[-1]
+    nm_size = nm_w.shape[-1]
+    bins = dftlen // 2 + 1
+
+    f0 = jnp.clip(jnp.exp(lf0), f0_min, f0_max * 1.5)
+    U_spec = jnp.asarray(unwarp_matrix(spec_size, dftlen, fs))
+    U_nm = jnp.asarray(unwarp_matrix(nm_size, dftlen, fs))
+    logA = spec_w @ U_spec  # (nf, bins) log amplitude
+    A = jnp.exp(logA)
+    nm_bins = jnp.clip(nm_w @ U_nm, 0.0, 1.0)
+    # intended voicing: analysis writes nm = 1 everywhere on unvoiced frames
+    # (same low-band rule and threshold as Vocoder.f0_vuv)
+    voiced_f = (
+        jnp.mean(nm_w[:, : max(nm_size // 4, 1)], axis=-1) < 0.75
+    ).astype(jnp.float32)
+
+    # ---- harmonic part: amplitudes + minimum-phase offsets --------------- #
+    K = int(fs / 2.0 / f0_min)  # static harmonic count
+    k = jnp.arange(1, K + 1, dtype=jnp.float32)
+    binpos = f0[:, None] * k[None, :] * dftlen / fs  # (nf, K)
+    valid = binpos < (dftlen / 2.0 - 1.0)
+    bp = jnp.clip(binpos, 0.0, bins - 2.0)
+    b0 = jnp.floor(bp).astype(jnp.int32)
+    frac = bp - b0.astype(jnp.float32)
+
+    def gather_bins(M):
+        lo = jnp.take_along_axis(M, b0, axis=-1)
+        hi = jnp.take_along_axis(M, b0 + 1, axis=-1)
+        return lo * (1.0 - frac) + hi * frac
+
+    amp_f = gather_bins(A) * jnp.sqrt(
+        jnp.clip(1.0 - gather_bins(nm_bins), 0.0, 1.0)
+    )
+    amp_f = jnp.where(valid, amp_f, 0.0)
+
+    if min_phase:
+        # minimum phase of the envelope: fold the real cepstrum of log A
+        # onto causal quefrencies; the imaginary part of its spectrum is the
+        # phase
+        cep = jnp.fft.irfft(logA + 0j, n=dftlen, axis=-1)  # (nf, dftlen)
+        tau = jnp.arange(dftlen)
+        fold = jnp.where(
+            (tau == 0) | (tau == dftlen // 2),
+            1.0,
+            jnp.where(tau < dftlen // 2, 2.0, 0.0),
+        ).astype(jnp.float32)
+        phi_bins = jnp.fft.rfft(cep * fold[None, :], axis=-1).imag[:, :bins]
+        phi_f = jnp.where(valid, gather_bins(phi_bins), 0.0)  # (nf, K)
+    else:
+        phi_f = jnp.zeros_like(amp_f)
+
+    # per-sample tracks (linear interp over frames)
+    t = jnp.arange(n, dtype=jnp.float32)
+    frame_pos = t / hop
+    i0 = jnp.clip(jnp.floor(frame_pos).astype(jnp.int32), 0, nf - 2)
+    w1 = frame_pos - i0.astype(jnp.float32)
+    f0_s = f0[i0] * (1.0 - w1) + f0[i0 + 1] * w1
+    phase = 2.0 * jnp.pi * jnp.cumsum(f0_s) / fs  # (n,)
+
+    amp_s = amp_f[i0] * (1.0 - w1)[:, None] + amp_f[i0 + 1] * w1[:, None]
+    phi_s = phi_f[i0] * (1.0 - w1)[:, None] + phi_f[i0 + 1] * w1[:, None]
+    harm = jnp.sum(amp_s * jnp.cos(phase[:, None] * k[None, :] + phi_s), axis=-1)
+
+    # ---- stochastic part -------------------------------------------------- #
+    # per-band noise std from the envelope amplitude under the analyzer's
+    # convention (see ops.cheaptrick module docstring); the analyzer keys on
+    # the continuous f0 track, which is exactly this lf0 stream
+    sigma = (
+        A
+        * jnp.sqrt(nm_bins)
+        * NOISE_CAL
+        / jnp.sqrt(f0 * CAL * dftlen / fs)[:, None]
+    )  # (nf, bins)
+    key = jax.random.key(seed)
+    noise = jax.random.normal(key, (n,), jnp.float32)
+    # short synthesis frames (2·hop) so a loud frame's noise cannot smear
+    # into quiet neighbors — the analysis window on unvoiced frames is only
+    # ~6 ms, and ±frame_len/2 of overlap-add leakage from a 25 ms window was
+    # measured as a +1.5–5 nat envelope error at voiced→silence transitions
+    nframe = 2 * hop
+    window = hann_window(nframe)
+    Nspec = stft(noise, nframe, hop, dftlen, window)[:nf]
+    noise_wav = istft(Nspec * sigma, nframe, hop, n, window)
+
+    # pulse-synchronous amplitude modulation of the noise in voiced regions
+    # (noise bursts ride the glottal pulses), power-normalized
+    voiced_s = voiced_f[i0] * (1.0 - w1) + voiced_f[i0 + 1] * w1
+    g = 1.0 + noise_mod * voiced_s * jnp.cos(phase)
+    g = g / jnp.sqrt(1.0 + 0.5 * (noise_mod * voiced_s) ** 2)
+
+    return harm + noise_wav * g
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fs",
+        "hop",
+        "frame_len",
+        "dftlen",
         "spec_size",
         "nm_size",
         "f0_min",
         "f0_max",
+        "envelope",
+        "env_time_smooth",
     ),
 )
 def _pml_analyze_vmapped(wavs, **kw):
@@ -260,6 +543,8 @@ class PMLVocoder(Vocoder):
             nm_size=c.nm_size,
             f0_min=c.f0_min,
             f0_max=c.f0_max,
+            envelope=c.envelope,
+            env_time_smooth=c.env_time_smooth,
         )
         return np.asarray(feats[:nf])
 
@@ -273,7 +558,12 @@ class PMLVocoder(Vocoder):
         fp[nf:, 0] = feats[-1, 0] if nf else np.log(100.0)
         fp[nf:, 1 + c.spec_size :] = 1.0  # pure noise, zero envelope tail
         fp[nf:, 1 : 1 + c.spec_size] = -18.0
-        wav = pml_synthesize_core(
+        core = (
+            pml_synthesize_amp_core
+            if c.envelope == "cheaptrick"
+            else pml_synthesize_core
+        )
+        wav = core(
             jnp.asarray(fp[:, 0]),
             jnp.asarray(fp[:, 1 : 1 + c.spec_size]),
             jnp.asarray(fp[:, 1 + c.spec_size :]),
@@ -310,15 +600,20 @@ class PMLVocoder(Vocoder):
             nm_size=c.nm_size,
             f0_min=c.f0_min,
             f0_max=c.f0_max,
+            envelope=c.envelope,
+            env_time_smooth=c.env_time_smooth,
         )
         feats = np.asarray(feats)
         return [feats[i, :n] for i, n in enumerate(nfs)]
 
     def f0_vuv(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """f0 from the lf0 stream; voicing from the low-band noise mask
-        (voiced ⇔ the lower nm bands are mostly deterministic)."""
+        """f0 from the lf0 stream; voicing from the low-band noise mask.
+        Analysis writes nm = 1 everywhere on unvoiced frames, so unvoiced
+        reads exactly 1.0 while voiced low bands carry the measured noise
+        fraction (≲0.5 plus estimator spread) — the 0.75 threshold separates
+        the two robustly."""
         lf0 = self.stream(feats, "f0")[..., 0]
         nm = self.stream(feats, "nm")
         low = nm[..., : max(nm.shape[-1] // 4, 1)]
-        vuv = (low.mean(axis=-1) < 0.5).astype(np.float32)
+        vuv = (low.mean(axis=-1) < 0.75).astype(np.float32)
         return np.exp(lf0), vuv

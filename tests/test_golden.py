@@ -12,15 +12,30 @@ from percivaltts_tpu.config import VocoderConfig
 from percivaltts_tpu.vocoders import get_vocoder
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "pml_features.npz")
+GOLDEN_CT = os.path.join(
+    os.path.dirname(__file__), "golden", "pml_features_cheaptrick.npz"
+)
 
 
-def test_pml_features_match_golden():
-    z = np.load(GOLDEN)
+def _check(golden_path, envelope):
+    z = np.load(golden_path)
     wav, expected = z["wav"], z["feats"]
-    voc = get_vocoder(VocoderConfig(kind="pml", fs=16000, spec_size=33, nm_size=17))
+    voc = get_vocoder(
+        VocoderConfig(
+            kind="pml", fs=16000, spec_size=33, nm_size=17, envelope=envelope
+        )
+    )
     feats = voc.analyze(wav)
     assert feats.shape == expected.shape
     # lf0 stream: tight (YIN is deterministic)
     np.testing.assert_allclose(feats[:, 0], expected[:, 0], atol=1e-3)
     # spec/nm streams: small fp drift allowed across jax versions
     np.testing.assert_allclose(feats[:, 1:], expected[:, 1:], atol=5e-3)
+
+
+def test_pml_features_match_golden_te():
+    _check(GOLDEN, "te")
+
+
+def test_pml_features_match_golden_cheaptrick():
+    _check(GOLDEN_CT, "cheaptrick")
