@@ -70,23 +70,33 @@ def _lerp_gather(values: jax.Array, pos: jax.Array) -> jax.Array:
     return lo * (1.0 - fr) + hi * fr
 
 
-def _time_smooth(P: jax.Array, radius: int) -> jax.Array:
+def _time_smooth(P: jax.Array, radius: int, vuv=None) -> jax.Array:
     """Triangular smoothing of (nf, bins) along the frame axis,
     edge-replicated. Cuts the independent per-frame estimator variance on
     noise regions; harmonic powers are locally stationary so voiced frames
-    lose almost nothing."""
+    lose almost nothing. When ``vuv`` is given, only neighbors with the
+    SAME voicing state contribute — smoothing across a voicing boundary
+    mixes a loud voiced neighbor's power into quiet unvoiced frames (the
+    dominant boundary-frame copy-synthesis error)."""
     if radius <= 0:
         return P
     nf = P.shape[0]
+
+    def shift(x, k):
+        if k > 0:
+            return jnp.concatenate([x[k:], jnp.repeat(x[-1:], k, axis=0)])[:nf]
+        k = -k
+        return jnp.concatenate([jnp.repeat(x[:1], k, axis=0), x[: nf - k]])
+
+    v = None if vuv is None else (vuv > 0.5)
     acc = (radius + 1.0) * P
-    total = radius + 1.0
-    for k in range(1, radius + 1):
-        w = radius + 1.0 - k
-        lead = jnp.concatenate([P[k:], jnp.repeat(P[-1:], k, axis=0)])[:nf]
-        lag = jnp.concatenate([jnp.repeat(P[:1], k, axis=0), P[: nf - k]])
-        acc = acc + w * (lead + lag)
-        total += 2.0 * w
-    return acc / total
+    den = jnp.full((nf, 1), radius + 1.0, P.dtype)
+    for k in list(range(-radius, 0)) + list(range(1, radius + 1)):
+        w = radius + 1.0 - abs(k)
+        m = 1.0 if v is None else (shift(v, k) == v).astype(P.dtype)[:, None]
+        acc = acc + w * m * shift(P, k)
+        den = den + w * m
+    return acc / den
 
 
 @functools.partial(
@@ -139,16 +149,29 @@ def cheaptrick_envelope(
     # --- 2. normalized power spectrum + DC mirroring below f0 ------------- #
     X = jnp.fft.rfft(frames * w, n=dftlen, axis=-1)
     P = (X.real * X.real + X.imag * X.imag) / wsum2[:, None]  # (nf, bins)
-    P = _time_smooth(P, time_smooth)
+    P = _time_smooth(P, time_smooth, vuv=mirror_mask)
 
     dfreq = fs / dftlen
     b = jnp.arange(bins, dtype=jnp.float32)
     f0_bins = f0c / dfreq  # (nf,)
     mirror_pos = 2.0 * f0_bins[:, None] - b[None, :]  # reflect around f0
     below = b[None, :] < f0_bins[:, None]
-    if mirror_mask is not None:
-        below = below & (mirror_mask[:, None] > 0.5)
-    P = jnp.where(below, P + _lerp_gather(P, mirror_pos), P)
+    # Deficit-gated fill: harmonic frames have no physical energy below f0
+    # and need the mirror; noise frames have real sub-f0 content that
+    # mirroring would double-count (and compound each resynthesis). The
+    # gate is the measured sub-f0 deficit itself — a property of the
+    # SIGNAL, which copy-synthesis reproduces — rather than the voicing
+    # decision, whose boundary flips would corrupt the low bands of every
+    # flipped frame.
+    taps = jnp.zeros_like(P)
+    for j in range(-2, 3):
+        lo = jnp.clip(jnp.arange(bins) + j, 0, bins - 1)
+        taps = taps + P[:, lo]
+    Ps5 = taps / 5.0  # lightly pre-smoothed P for the gate measurement
+    p_half = _lerp_gather(Ps5, 0.5 * f0_bins[:, None])  # (nf, 1)
+    p_f0 = _lerp_gather(Ps5, f0_bins[:, None])
+    w_fill = jnp.clip(1.0 - p_half / jnp.maximum(p_f0, 1e-20), 0.0, 1.0)
+    P = jnp.where(below, P + w_fill * _lerp_gather(P, mirror_pos), P)
 
     # --- 3. rectangular smoothing, width 2·f0/3 ---------------------------- #
     # Local shifted-taps sum with fractional edge weights — NOT a global
@@ -186,16 +209,17 @@ def cheaptrick_envelope(
     off = jnp.log(f0c * CAL / dfreq)
     env = 0.5 * (env_logpow + off[:, None])
 
-    # Nyquist hold (harmonic frames only): above the last harmonic (which
-    # can sit up to ~2·f0 below fs/2) the envelope genuinely dips — but a
+    # Nyquist hold: above the last harmonic (which can sit up to ~2·f0
+    # below fs/2) a harmonic frame's envelope genuinely dips — but a
     # warped-band representation cannot carry "flat then dip" at its top
     # edge, so the dip corrupts synthesis-side unwarping of the highest
     # harmonics and compounds each roundtrip. Hold the level measured at
-    # fs/2 − 2.5·f0 instead; noise frames have real content up to Nyquist
-    # and keep their measurement.
+    # fs/2 − 2.5·f0 instead. Applied to ALL frames (not vuv-gated): on
+    # noise frames the hold costs a little top-band resolution but is
+    # applied identically by both analyses (synthesis regenerates noise at
+    # the held level), while gating it by voicing would make every voicing
+    # flip corrupt the top bands.
     hold_pos = (bins - 1.0) - 2.5 * f0_bins  # per-frame hold start (bins)
     hold_val = _lerp_gather(env, hold_pos[:, None])  # (nf, 1)
     above = b[None, :] > hold_pos[:, None]
-    if mirror_mask is not None:
-        above = above & (mirror_mask[:, None] > 0.5)
     return jnp.where(above, hold_val, env)

@@ -132,12 +132,26 @@ def estimate_f0(
     tau_refined = i.astype(jnp.float32) + delta
 
     ap = d0
-    # voicing: trough quality + minimum energy
+    # voicing: trough quality + minimum energy; median-filtered like f0 so
+    # isolated boundary flips (the frames that damage copy-synthesis
+    # consistency most) are voted out
     energy = E0[:, 0]
     voiced = (ap < jnp.float32(voicing_threshold)) & (
         energy > 1e-6 * jnp.maximum(jnp.max(energy), 1e-20)
     )
+    voiced = _median5(voiced.astype(jnp.float32)) > 0.5
     f0_frame = fs / jnp.maximum(tau_refined, 1.0)
+    f0_frame = jnp.clip(f0_frame, f0_min, f0_max)
+    # octave snap: where the frame's f0 sits at ~half/double the local
+    # 11-frame median, fold it back — runs of period-doubling survive a
+    # plain median filter, and downstream the envelope convention keys on
+    # f0, so an octave error corrupts the whole frame's spectrum
+    med = _median_k(f0_frame, 11)
+    is_half = jnp.abs(2.0 * f0_frame - med) < 0.25 * med
+    is_dbl = jnp.abs(0.5 * f0_frame - med) < 0.25 * med
+    f0_frame = jnp.where(
+        is_half, 2.0 * f0_frame, jnp.where(is_dbl, 0.5 * f0_frame, f0_frame)
+    )
     f0_frame = jnp.clip(f0_frame, f0_min, f0_max)
     # 5-frame median filter: the standard YIN post-process suppressing
     # isolated octave/period errors without smearing real f0 movement
@@ -153,17 +167,23 @@ def estimate_f0(
     )
 
 
-def _median5(x: jax.Array) -> jax.Array:
-    """Vectorized 5-tap median along a 1-D track (edge-replicated)."""
+def _median_k(x: jax.Array, k: int) -> jax.Array:
+    """Vectorized k-tap median along a 1-D track (edge-replicated)."""
+    r = k // 2
     pads = [
-        jnp.concatenate([jnp.repeat(x[:1], k), x[: x.shape[0] - k]]) if k > 0 else x
-        for k in range(3)
+        jnp.concatenate([jnp.repeat(x[:1], j), x[: x.shape[0] - j]]) if j > 0 else x
+        for j in range(r + 1)
     ]
     lags = [
-        jnp.concatenate([x[k:], jnp.repeat(x[-1:], k)]) for k in range(1, 3)
+        jnp.concatenate([x[j:], jnp.repeat(x[-1:], j)]) for j in range(1, r + 1)
     ]
-    stack = jnp.stack(pads + lags, axis=0)  # (5, nf)
+    stack = jnp.stack(pads + lags, axis=0)  # (k, nf)
     return jnp.median(stack, axis=0)
+
+
+def _median5(x: jax.Array) -> jax.Array:
+    """Vectorized 5-tap median along a 1-D track (edge-replicated)."""
+    return _median_k(x, 5)
 
 
 def _interp_through_unvoiced(raw: jax.Array, voiced: jax.Array) -> jax.Array:

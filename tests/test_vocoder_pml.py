@@ -102,8 +102,34 @@ def test_analysis_synthesis_roundtrip_spectral(voc):
     rel = np.abs(f0a - f0b)[core][both[core]] / f0a[core][both[core]]
     assert np.median(rel) < 0.03
 
-    # warped-log-envelope distance (dB RMS over core voiced frames)
+    # warped-log-envelope distance (dB RMS over core voiced frames);
+    # measured ≈0.5 dB with the cheaptrick estimator (round 2) — the gate
+    # leaves ~3× headroom for fp/jax-version drift
     sa = voc.stream(feats[:n], "spec")[core]
     sb = voc.stream(feats2[:n], "spec")[core]
     rms_db = np.sqrt(np.mean((20.0 / np.log(10.0) * (sa - sb)) ** 2))
-    assert rms_db < 6.0, rms_db
+    assert rms_db < 1.5, rms_db
+
+
+def test_copy_synthesis_mcd_demo_corpus(voc, tmp_path):
+    """The copy-synthesis fidelity gate (VERDICT round 1 item 2): MCD of
+    analyze→synthesize→re-analyze over a miniature demo corpus. Round-1
+    was 19.9 dB; round 2 measures ≈9.6 mean / ≈6.5 median."""
+    from percivaltts_tpu.data.compose import load_wav
+    from percivaltts_tpu.data.demo import generate_demo_corpus
+
+    ids = generate_demo_corpus(str(tmp_path), num_utterances=4, fs=FS, seed=1234)
+    pfs = []
+    for uid in ids:
+        _, wav = load_wav(str(tmp_path / "wav" / (uid + ".wav")))
+        f1 = voc.analyze(wav)
+        y = voc.synthesize(f1)
+        f2 = voc.analyze(y)
+        n = min(len(f1), len(f2))
+        ca = voc.cepstra(f1[:n])
+        cb = voc.cepstra(f2[:n])
+        d = ca[:, 1:] - cb[:, 1:]
+        pfs.append(10.0 / np.log(10.0) * np.sqrt(2.0 * np.sum(d * d, axis=-1)))
+    pf = np.concatenate(pfs)
+    assert pf.mean() < 12.0, pf.mean()
+    assert np.median(pf) < 8.0, np.median(pf)
