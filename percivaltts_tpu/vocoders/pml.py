@@ -15,14 +15,17 @@ Clean-room TPU-first rebuild (no reference code available — SURVEY.md §0):
 the pulse-model *behavior* (harmonic + shaped-noise decomposition driven by
 a per-band noise mask) is re-derived as batched spectral ops:
 
-* analysis: one YIN pass (ops.f0), one batched STFT, true-envelope smoothing
-  (ops.envelope), warping as constant matmuls (ops.warp), and the per-band
-  harmonicity from windowed-autocorrelation-at-the-pitch-period — evaluated
-  directly from the power spectrum as two matmuls (no per-band IFFTs),
-  window-bias corrected.
-* synthesis: harmonic-plus-noise — a bank of harmonics of the continuous f0
-  with amplitudes from the envelope gated by (1 − nm), plus white noise
-  shaped by envelope·nm in the STFT domain and overlap-added.
+* analysis (default ``envelope="cheaptrick"``): one YIN pass (ops.f0), the
+  f0-adaptive CheapTrick envelope in log-amplitude convention
+  (ops.cheaptrick), the per-harmonic peak/valley noise mask
+  (ops.aperiodicity), warping as constant matmuls (ops.warp). The round-1
+  estimator (fixed-window true-envelope + band autocorrelation harmonicity,
+  STFT-magnitude convention) remains under ``envelope="te"``.
+* synthesis (``pml_synthesize_amp_core``): harmonic-plus-noise — a bank of
+  harmonics of the continuous f0 with amplitudes from the envelope gated by
+  sqrt(1 − nm) and the envelope's minimum-phase response, plus
+  pitch-synchronously modulated phase-only noise shaped to the per-band
+  power the analyzer reads back.
 
 Everything is jit-compiled with static shapes; utterances are padded to a
 frame multiple so the jit variant count stays bounded.
@@ -37,6 +40,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from percivaltts_tpu.ops.aperiodicity import (
+    erode5 as _erode5,
+    harmonic_noise_mask as _harmonic_noise_mask,
+)
 from percivaltts_tpu.ops.cheaptrick import (
     CAL,
     DEFAULT_UNVOICED_F0,
@@ -44,8 +51,8 @@ from percivaltts_tpu.ops.cheaptrick import (
 )
 from percivaltts_tpu.ops.envelope import spectral_envelope
 from percivaltts_tpu.ops.f0 import estimate_f0
-from percivaltts_tpu.ops.stft import frame_signal, hann_window, istft, stft
-from percivaltts_tpu.ops.warp import _band_centers_hz, unwarp_matrix, warp_matrix
+from percivaltts_tpu.ops.stft import hann_window, istft, stft
+from percivaltts_tpu.ops.warp import unwarp_matrix, warp_matrix
 from percivaltts_tpu.vocoders.base import Vocoder, register
 
 # Calibration of the stochastic component for the "cheaptrick"
@@ -61,26 +68,6 @@ NOISE_CAL = 0.97
 # utterances are padded to a multiple of this many frames before the jitted
 # cores run (bounded compile-variant count)
 FRAME_MULTIPLE = 128
-
-# peak/valley noise-mask estimator: ratio of the harmonic mainlobe's
-# integrated power to its peak value for the 4·T0 Hann window, in units of
-# the per-f0-interval noise integral (analytically 3/8 = the Hann equivalent
-# noise bandwidth ratio; calibrated on synthetic harmonic+noise mixtures —
-# see tests/test_cheaptrick.py::test_noise_mask_calibration)
-NM_RHO = 0.375
-
-
-def _lerp_cols(M: jax.Array, pos: jax.Array) -> jax.Array:
-    """Batched linear interpolation along the last axis: M (nf, n) at
-    fractional positions pos (nf, m) → (nf, m)."""
-    n = M.shape[-1]
-    p = jnp.clip(pos, 0.0, n - 1.000001)
-    i0 = jnp.floor(p).astype(jnp.int32)
-    fr = p - i0.astype(M.dtype)
-    lo = jnp.take_along_axis(M, i0, axis=-1)
-    hi = jnp.take_along_axis(M, i0 + 1, axis=-1)
-    return lo * (1.0 - fr) + hi * fr
-
 
 def _smooth_noiselike(
     x: jax.Array, noisiness: jax.Array, radius: int = 5
@@ -108,79 +95,6 @@ def _smooth_noiselike(
         acc_d = acc_d + lead_d + lag_d
     sm = acc_n / jnp.maximum(acc_d, 1e-6)
     return (1.0 - s) * x + s * sm
-
-
-def _erode5(x: jax.Array) -> jax.Array:
-    """Running minimum over ±2 frames along axis 0 (edge-replicated).
-
-    The noise-mask analysis window spans ±2·T0 (~±2–3 frames), so at a
-    voicing edge it straddles the transition and misreads the spectral
-    change as aperiodicity — measured as nm_low spiking from ~0.02 to
-    ~0.4 on the last two voiced frames of every run, which synthesis then
-    renders as a loud low-frequency noise burst. A 5-frame erosion removes
-    the edge spike; true nm cannot change faster than the window anyway."""
-    nf = x.shape[0]
-    out = x
-    for k in range(1, 3):
-        lead = jnp.concatenate([x[k:], jnp.repeat(x[-1:], k, axis=0)])[:nf]
-        lag = jnp.concatenate([jnp.repeat(x[:1], k, axis=0), x[: nf - k]])
-        out = jnp.minimum(out, jnp.minimum(lead, lag))
-    return out
-
-
-def _harmonic_noise_mask(
-    wav: jax.Array,
-    f0: jax.Array,
-    fs: int,
-    hop: int,
-    nm_size: int,
-    f0_floor: float,
-) -> jax.Array:
-    """Per-harmonic noise mask mapped to warped bands, (frames, nm_size).
-
-    A 4·T0 f0-adaptive Hann window places exact spectral nulls at the
-    inter-harmonic valleys (k ± ½)·f0, so the valley power is a clean
-    estimate of the noise level per harmonic interval while the peak at
-    k·f0 carries harmonic + noise. The per-harmonic noise fraction
-    ``v / (v + NM_RHO·(p − v))`` is then interpolated at each warped band's
-    center frequency (in harmonic-index space) — well-defined at every band
-    width, unlike band-aggregated autocorrelation (which is blind inside
-    bands narrower than f0)."""
-    import math as _math
-
-    Lnm = int(_math.ceil(4.0 * fs / f0_floor))
-    fftnm = 1 << (Lnm - 1).bit_length()
-    f0c = jnp.clip(f0, f0_floor, fs / 8.0)
-
-    frames4 = frame_signal(wav, Lnm, hop)  # (nf, Lnm) centered at i·hop
-    halfw = 2.0 * fs / f0c  # (nf,) half window = 2·T0
-    t4 = jnp.arange(Lnm, dtype=jnp.float32) - (Lnm // 2)
-    w4 = jnp.where(
-        jnp.abs(t4)[None, :] <= halfw[:, None],
-        0.5 + 0.5 * jnp.cos(jnp.pi * t4[None, :] / halfw[:, None]),
-        0.0,
-    )
-    wsum2 = jnp.maximum(jnp.sum(w4 * w4, axis=-1), 1e-12)
-    X4 = jnp.fft.rfft(frames4 * w4, n=fftnm, axis=-1)
-    P4 = (X4.real * X4.real + X4.imag * X4.imag) / wsum2[:, None]
-
-    K = int(fs / 2.0 / f0_floor)
-    k = jnp.arange(1, K + 1, dtype=jnp.float32)
-    f0bins = f0c * fftnm / fs  # (nf,)
-    kpos = f0bins[:, None] * k[None, :]  # (nf, K)
-    peak = _lerp_cols(P4, kpos)
-    valley = 0.5 * (
-        _lerp_cols(P4, kpos - 0.5 * f0bins[:, None])
-        + _lerp_cols(P4, kpos + 0.5 * f0bins[:, None])
-    )
-    harmpow = jnp.maximum(peak - valley, 0.0)
-    nm_k = valley / jnp.maximum(valley + NM_RHO * harmpow, 1e-20)
-    # harmonics at/above Nyquist carry no deterministic content
-    nm_k = jnp.where((k[None, :] + 0.5) * f0c[:, None] < fs / 2.0, nm_k, 1.0)
-
-    centers = jnp.asarray(_band_centers_hz(nm_size, fs), jnp.float32)
-    hpos = centers[None, :] / f0c[:, None] - 1.0  # harmonic-index space
-    return jnp.clip(_lerp_cols(nm_k, hpos), 0.0, 1.0)
 
 
 @functools.partial(

@@ -1,31 +1,93 @@
 """WORLD-style vocoder: f0 + vuv + spectral envelope + band aperiodicity.
 
 Reference parity: percivaltts's ``VocoderWORLD`` (``percivaltts/vocoders.py``,
-via pyworld in the reference; SURVEY.md §2 "Vocoder layer"). Feature schema:
-explicit voicing stream (unlike PML, where voicing lives in the noise mask),
-warped log spectral envelope, and coarse band aperiodicities.
+via pyworld in the reference; SURVEY.md §2 "Vocoder layer" — file-level cite,
+mount empty). Feature schema: explicit voicing stream (unlike PML, where
+voicing lives in the noise mask), warped log spectral envelope, and coarse
+band aperiodicities.
 
-Clean-room rebuild sharing the PML analysis core (SURVEY.md forbids porting;
-pyworld is CHEAPTRICK/D4C — here the same YIN + true-envelope + band
-harmonicity machinery provides the equivalent information): ``bap`` is the
-warped noise mask at ``nm_size`` bands, ``vuv`` the YIN voicing decision,
-``f0`` the continuous log-f0. Synthesis is harmonic-plus-noise with the
-harmonic bank additionally gated by vuv.
+Clean-room TPU-first analysis built from the same published algorithm
+families pyworld implements:
+
+* envelope — ``ops.cheaptrick``: the CheapTrick estimator (Morise 2015,
+  f0-adaptive 3·T0 window, rectangular power smoothing, quefrency
+  liftering), batched over all frames, amplitude output convention;
+* band aperiodicity — ``ops.aperiodicity``: per-harmonic noise fractions
+  from peak/valley measurements on a 4·T0 window (the D4C role: one
+  aperiodic-to-total power ratio per band), mapped to ``nm_size`` warped
+  bands, edge-eroded;
+* f0/vuv — the batched YIN estimator (``ops.f0``).
+
+Synthesis shares the harmonic-plus-noise amplitude-convention core with PML
+(minimum-phase harmonic bank + aperiodicity-shaped phase-only noise): the
+WORLD ``bap`` stream has the same noise-fraction semantics as PML's ``nm``,
+with the harmonic bank additionally gated by the explicit vuv stream.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from percivaltts_tpu.ops.aperiodicity import erode5, harmonic_noise_mask
+from percivaltts_tpu.ops.cheaptrick import cheaptrick_envelope
+from percivaltts_tpu.ops.f0 import estimate_f0
+from percivaltts_tpu.ops.warp import warp_matrix
 from percivaltts_tpu.vocoders.base import Vocoder, register
-from percivaltts_tpu.vocoders.pml import (
-    FRAME_MULTIPLE,
-    pml_analyze_core,
-    pml_synthesize_core,
+from percivaltts_tpu.vocoders.pml import FRAME_MULTIPLE, pml_synthesize_amp_core
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fs",
+        "hop",
+        "dftlen",
+        "spec_size",
+        "nm_size",
+        "f0_min",
+        "f0_max",
+        "env_time_smooth",
+    ),
 )
+def world_analyze_core(
+    wav: jax.Array,
+    fs: int,
+    hop: int,
+    dftlen: int,
+    spec_size: int,
+    nm_size: int,
+    f0_min: float,
+    f0_max: float,
+    env_time_smooth: int = 1,
+) -> jax.Array:
+    """waveform → (frames, 1 + 1 + spec_size + nm_size): lf0, vuv, warped
+    log-amplitude envelope (CheapTrick), warped band aperiodicity."""
+    res = estimate_f0(wav, fs, hop, f0_min, f0_max)
+    f0, vuv = res.f0, res.vuv
+
+    env = cheaptrick_envelope(
+        wav,
+        f0,
+        fs,
+        hop,
+        dftlen,
+        f0_floor=min(f0_min, 60.0),
+        time_smooth=env_time_smooth,
+        mirror_mask=vuv,
+    )
+    W_spec = jnp.asarray(warp_matrix(spec_size, dftlen, fs))
+    spec_w = env @ W_spec
+
+    bap = erode5(harmonic_noise_mask(wav, f0, fs, hop, nm_size, min(f0_min, 60.0)))
+    bap = jnp.where(vuv[:, None] > 0.5, bap, 1.0)
+
+    lf0 = jnp.log(jnp.maximum(f0, 1.0))
+    return jnp.concatenate([lf0[:, None], vuv[:, None], spec_w, bap], axis=-1)
 
 
 @register
@@ -40,23 +102,18 @@ class WorldVocoder(Vocoder):
         nf_pad = -(-nf // FRAME_MULTIPLE) * FRAME_MULTIPLE
         wav_p = np.zeros(nf_pad * hop, dtype=np.float32)
         wav_p[: len(wav)] = np.asarray(wav, np.float32)
-        feats, vuv = pml_analyze_core(
+        feats = world_analyze_core(
             jnp.asarray(wav_p),
             fs=c.fs,
             hop=hop,
-            frame_len=c.frame_samples,
             dftlen=c.dftlen,
             spec_size=c.spec_size,
             nm_size=c.nm_size,
             f0_min=c.f0_min,
             f0_max=c.f0_max,
+            env_time_smooth=c.env_time_smooth,
         )
-        feats = np.asarray(feats[:nf])
-        vuv = np.asarray(vuv[:nf])
-        lf0 = feats[:, :1]
-        spec = feats[:, 1 : 1 + c.spec_size]
-        bap = feats[:, 1 + c.spec_size :]
-        return np.concatenate([lf0, vuv[:, None], spec, bap], axis=-1)
+        return np.asarray(feats[:nf])
 
     def synthesize(self, feats: np.ndarray, seed: int = 0) -> np.ndarray:
         c = self.cfg
@@ -70,12 +127,13 @@ class WorldVocoder(Vocoder):
         bap[vuv < 0.5] = 1.0
 
         nf_pad = -(-nf // FRAME_MULTIPLE) * FRAME_MULTIPLE
+
         def pad(a, fill):
             out = np.full((nf_pad,) + a.shape[1:], fill, np.float32)
             out[:nf] = a
             return out
 
-        wav = pml_synthesize_core(
+        wav = pml_synthesize_amp_core(
             jnp.asarray(pad(lf0, np.log(100.0))),
             jnp.asarray(pad(spec, -18.0)),
             jnp.asarray(pad(bap, 1.0)),
