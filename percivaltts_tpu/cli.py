@@ -111,6 +111,10 @@ def cmd_train(args) -> int:
         mesh=mesh,
         in_stats=corpus.in_stats if on_device else None,
         out_stats=corpus.out_stats if on_device else None,
+        # objective-measure validation (TrainConfig.measures_every) needs
+        # the output stats to denormalize predictions; only meaningful for
+        # the pre-normalized pipeline
+        measures_stats=corpus.out_stats if not on_device else None,
     )
     if args.resume:
         trainer.resume()

@@ -168,6 +168,16 @@ class TrainConfig:
     # {"f0": 10.0, "spec": 1.0, "nm": 1.0} — the reference balances its
     # feature streams in the regression loss; empty = uniform
     stream_weights: Tuple[Tuple[str, float], ...] = ()
+    # objective-measure validation: every K epochs run the objective
+    # measures (MCD / F0 RMSE / VUV error) over the validation split via the
+    # generation path (reference: optimizertts_wgan.py validates with the
+    # objective measures, not only the regression loss). 0 = off. Requires
+    # the trainer to be given the output-normalization stats.
+    measures_every: int = 0
+    # metric driving best-checkpoint selection and early stopping:
+    # "valid" = frame-weighted masked validation MSE; "mcd" = the MCD from
+    # the objective-measure validation (requires measures_every > 0)
+    best_metric: str = "valid"
     # early stopping
     patience: int = 20
     # checkpointing

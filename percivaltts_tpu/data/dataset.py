@@ -154,25 +154,32 @@ class Dataset:
 
         # interleave buckets so compilation variants appear early and the
         # batch order stays shuffled across buckets
-        pending: List[Tuple[int, List[int]]] = []
+        pending: List[Tuple[int, List[int], int]] = []
         for b in bounds:
             idxs = buckets[b]
             for k in range(0, len(idxs), batch_size):
                 chunk = idxs[k : k + batch_size]
-                if len(chunk) < batch_size:
+                nreal = len(chunk)
+                if nreal < batch_size:
                     if drop_remainder:
                         continue
-                    # pad the batch by repeating utterances (masked anyway)
-                    chunk = chunk + idxs[: batch_size - len(chunk)]
-                pending.append((b, chunk))
+                    # pad the batch by repeating utterances; the repeated
+                    # rows get zero masks/lengths below so they cannot bias
+                    # masked losses or frame-weighted validation
+                    chunk = chunk + idxs[: batch_size - nreal]
+                pending.append((b, chunk, nreal))
         if shuffle:
             rng.shuffle(pending)  # type: ignore[arg-type]
 
         from percivaltts_tpu import native
 
-        for bound, chunk in pending:
+        for bound, chunk, nreal in pending:
             offsets, lengths = [], []
-            for i in chunk:
+            for j, i in enumerate(chunk):
+                if j >= nreal:
+                    offsets.append(0)
+                    lengths.append(0)
+                    continue
                 n = self.labs[i].shape[0]
                 if n > bound:
                     offsets.append(int(rng.integers(0, n - bound + 1)))

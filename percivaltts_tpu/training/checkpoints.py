@@ -32,10 +32,11 @@ class CheckpointManager:
                 max_to_keep=keep,
                 create=True,
                 enable_async_checkpointing=False,
-                # keep the best-validation checkpoint alive alongside the
-                # most recent ones (the reference generates from its
-                # save-on-validation-improvement weights)
-                best_fn=lambda m: m.get("valid", float("inf")),
+                # keep the best checkpoint alive alongside the most recent
+                # ones (the reference generates from its save-on-improvement
+                # weights); "score" is the trainer's configured best metric
+                # (TrainConfig.best_metric — MCD or validation MSE)
+                best_fn=lambda m: m.get("score", m.get("valid", float("inf"))),
                 best_mode="min",
                 keep_checkpoints_without_metrics=True,
             ),

@@ -74,10 +74,17 @@ class Trainer:
         workdir: Optional[str] = None,
         in_stats=None,
         out_stats=None,
+        measures_stats=None,
     ):
         """``in_stats``/``out_stats``: pass NormStats (with *raw* datasets)
         to normalize on device inside the jitted step instead of host-side
-        (training/ondevice.py)."""
+        (training/ondevice.py).
+
+        ``measures_stats``: output-stream NormStats of a *normalized*
+        pipeline, enabling objective-measure validation
+        (``TrainConfig.measures_every``) and MCD-driven best-checkpoint
+        selection (``TrainConfig.best_metric="mcd"``) — the reference's
+        WGAN trainer validates with the objective measures."""
         self.cfg = cfg
         self.train_ds = train_ds
         self.valid_ds = valid_ds
@@ -172,7 +179,17 @@ class Trainer:
                 )
             else:
                 self._lse_step = jax.jit(base, donate_argnums=(0,))
-        self._eval_step = jax.jit(_maybe_norm(lse_eval_step))
+        from percivaltts_tpu.training.lse import lse_eval_sums
+
+        self._eval_step = jax.jit(_maybe_norm(lse_eval_sums))
+
+        self.measures_stats = measures_stats
+        if cfg.train.best_metric == "mcd" and (
+            cfg.train.measures_every <= 0 or measures_stats is None
+        ):
+            raise ValueError(
+                "best_metric='mcd' needs measures_every > 0 and measures_stats"
+            )
 
         self.best_valid = float("inf")
         self.best_epoch = -1
@@ -320,16 +337,46 @@ class Trainer:
         return out
 
     def _validate(self) -> float:
+        """Frame-weighted masked validation MSE: per-batch (error sum, frame
+        count) pairs accumulate across batches, so short final batches and
+        zero-masked pad rows carry exactly their frame weight (round-1
+        averaged per-batch means, which biased small-corpus validation)."""
         if self.valid_ds is None or len(self.valid_ds) == 0:
             return float("nan")
         d = self.cfg.data
-        tot, n = 0.0, 0
+        err, frames = 0.0, 0.0
         for b in self.valid_ds.batches(
             d.batch_size, d.bucket_bounds, shuffle=False, drop_remainder=False
         ):
-            tot += float(self._eval_step(self.state, self._put(b)))
-            n += 1
-        return tot / max(n, 1)
+            e, f = self._eval_step(self.state, self._put(b))
+            err += float(e)
+            frames += float(f)
+        return err / max(frames, 1.0)
+
+    def _validate_measures(self, epoch: int) -> Optional[Dict[str, float]]:
+        """Objective measures (MCD / F0 RMSE / VUV) over the valid split via
+        the generation path, every ``measures_every`` epochs."""
+        cfg = self.cfg.train
+        if (
+            cfg.measures_every <= 0
+            or self.measures_stats is None
+            or self.valid_ds is None
+            or len(self.valid_ds) == 0
+            or (epoch + 1) % cfg.measures_every != 0
+        ):
+            return None
+        from percivaltts_tpu.eval.generate import generate
+
+        obj = generate(
+            self.cfg,
+            self.state,
+            self.valid_ds,
+            self.measures_stats,
+            outdir=os.path.join(self.workdir, "valid_gen"),
+            synthesize=False,
+        )
+        self.metrics.log("objective", epoch=epoch, **obj)
+        return obj
 
     def train(self, epochs: Optional[int] = None) -> Dict[str, list]:
         cfg = self.cfg.train
@@ -339,6 +386,7 @@ class Trainer:
         for epoch in range(start_epoch, epochs):
             tr = self._train_epoch(epoch)
             va = self._validate()
+            obj = self._validate_measures(epoch)
             self.state = self.state.replace(
                 epoch=jax.numpy.asarray(epoch + 1, jax.numpy.int32)
             )
@@ -350,16 +398,23 @@ class Trainer:
                 f"valid={va:.5f} ({tr['frames_per_sec']:.0f} frames/s)"
             )
 
-            improved = va < self.best_valid if va == va else False
+            # best-model score: the configured metric (reference's WGAN
+            # trainer selects on the objective measures, not the LSE loss)
+            if cfg.best_metric == "mcd":
+                score = obj["mcd_db"] if obj is not None else float("nan")
+            else:
+                score = va
+            improved = score < self.best_valid if score == score else False
             if improved:
-                self.best_valid = va
+                self.best_valid = score
                 self.best_epoch = epoch
             if (epoch + 1) % cfg.checkpoint_every == 0 or improved:
-                self.ckpt.save(
-                    epoch,
-                    self.state,
-                    metrics={"valid": float(va)} if va == va else None,
-                )
+                m = {"valid": float(va)} if va == va else {}
+                if obj is not None:
+                    m.update(obj)
+                if score == score:
+                    m["score"] = float(score)
+                self.ckpt.save(epoch, self.state, metrics=m or None)
             if (
                 self.best_epoch >= 0
                 and epoch - self.best_epoch >= cfg.patience

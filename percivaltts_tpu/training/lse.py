@@ -47,3 +47,19 @@ def lse_eval_step(state: GANState, batch: Dict[str, jax.Array]) -> jax.Array:
     """Masked validation MSE (no update)."""
     pred = state.gen.apply_fn(state.gen.params, batch["lab"])
     return masked_mse(pred, batch["cmp"], batch["mask"])
+
+
+def lse_eval_sums(
+    state: GANState, batch: Dict[str, jax.Array]
+) -> Tuple[jax.Array, jax.Array]:
+    """(Σ per-frame masked squared error, Σ mask) — callers accumulate both
+    across batches for a frame-weighted validation mean, so short final
+    batches and padded rows cannot bias the metric (reference validates per
+    batch with equal weights; the per-frame weighting is strictly fairer)."""
+    pred = state.gen.apply_fn(state.gen.params, batch["lab"])
+    mask = batch["mask"]
+    se = jnp.mean(
+        jnp.square(pred.astype(jnp.float32) - batch["cmp"].astype(jnp.float32)),
+        axis=-1,
+    )
+    return jnp.sum(se * mask), jnp.sum(mask)

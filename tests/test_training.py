@@ -22,6 +22,7 @@ LDIM = 11
 
 
 def _cfg(trainer="lse", generator="fc", workdir="exp/test", **train_kw):
+    train_kw.setdefault("epochs", 3)
     return Configuration(
         workdir=workdir,
         data=DataConfig(batch_size=4, bucket_bounds=(64,), label_dim=LDIM),
@@ -32,7 +33,7 @@ def _cfg(trainer="lse", generator="fc", workdir="exp/test", **train_kw):
             critic_channels=4, critic_blocks=2, critic_hidden=32,
             compute_dtype="float32",
         ),
-        train=TrainConfig(trainer=trainer, n_critic=2, epochs=3, patience=10,
+        train=TrainConfig(trainer=trainer, n_critic=2, patience=10,
                           lr_gen=1e-3, lr_critic=1e-3, **train_kw),
     )
 
@@ -142,3 +143,65 @@ def test_trainer_wgan_end_to_end(tmp_path):
     assert all(np.isfinite(h["loss"]) for h in hist["train"])
     assert hist["train"][0]["steps"] >= 1
     t.close()
+
+
+def test_objective_measure_validation_and_best_metric(tmp_path):
+    """TrainConfig.measures_every emits periodic 'objective' records and
+    best_metric='mcd' drives best-checkpoint selection on MCD (VERDICT
+    round-1 item 4)."""
+    import json
+
+    from percivaltts_tpu.data.normalize import NormStats
+
+    cfg = _cfg(
+        workdir=str(tmp_path),
+        measures_every=1,
+        best_metric="mcd",
+        epochs=2,
+    )
+    ds = _toy_ds()
+    # identity stats: features are already in "denormalized" units
+    stats = NormStats(
+        shift=np.zeros(VOC.feature_size, np.float32),
+        scale=np.ones(VOC.feature_size, np.float32),
+    )
+    tr = Trainer(cfg, ds, ds, measures_stats=stats)
+    tr.train()
+    tr.close()
+
+    records = [
+        json.loads(l) for l in open(os.path.join(str(tmp_path), "metrics.jsonl"))
+    ]
+    objs = [r for r in records if r.get("kind") == "objective"]
+    assert len(objs) == 2, [r.get("event") for r in records]
+    assert all("mcd_db" in r and np.isfinite(r["mcd_db"]) for r in objs)
+    # best-checkpoint selection followed the MCD score
+    best_epoch = min(objs, key=lambda r: r["mcd_db"])["epoch"]
+    assert tr.best_epoch == best_epoch
+    assert tr.ckpt.best_step() == best_epoch
+
+
+def test_best_metric_mcd_requires_measures():
+    cfg = _cfg(best_metric="mcd")
+    with pytest.raises(ValueError):
+        Trainer(cfg, _toy_ds(), _toy_ds())
+
+
+def test_validation_is_frame_weighted(tmp_path):
+    """Short final batches / repeated pad rows must not bias validation:
+    the metric equals the global masked per-frame MSE."""
+    cfg = _cfg(workdir=str(tmp_path), epochs=1)
+    ds = _toy_ds(n=8)
+    valid = Dataset(labs=ds.labs[:5], cmps=ds.cmps[:5])  # forces a pad batch
+    tr = Trainer(cfg, ds, valid)
+    va = tr._validate()
+    # reference value: per-frame masked MSE over the whole split
+    preds = []
+    for lab, cmp_ in zip(valid.labs, valid.cmps):
+        from percivaltts_tpu.models.base import predict_utterance
+
+        p = predict_utterance(tr.state.gen.apply_fn, tr.state.gen.params, lab)
+        preds.append(np.mean((p[: len(cmp_)] - cmp_) ** 2, axis=-1))
+    expect = float(np.concatenate(preds).mean())
+    tr.close()
+    np.testing.assert_allclose(va, expect, rtol=2e-3)
