@@ -85,6 +85,12 @@ def cmd_compose(args) -> int:
 
 
 def cmd_train(args) -> int:
+    if getattr(args, "distributed", False):
+        from percivaltts_tpu.parallel import distributed as dist
+
+        dist.initialize()
+        print_log(f"distributed runtime: {dist.process_info()}")
+        args.mesh = True
     cfg = _load_config(args.config)
     if getattr(args, "device_corpus", False):
         import dataclasses
@@ -290,6 +296,13 @@ def main(argv=None) -> int:
     pt.add_argument("--config", required=True)
     pt.add_argument("--resume", action="store_true")
     pt.add_argument("--mesh", action="store_true", help="train data-parallel over all devices")
+    pt.add_argument(
+        "--distributed", action="store_true",
+        help="join the JAX distributed runtime for multi-host training "
+        "(coordinator/process args from JAX_COORDINATOR_ADDRESS / "
+        "JAX_NUM_PROCESSES / JAX_PROCESS_ID, or auto-discovered on TPU "
+        "pods); implies --mesh over the global device set",
+    )
     pt.add_argument(
         "--on-device-norm", action="store_true", dest="on_device_norm",
         help="apply normalization on device inside the jitted step (raw features ship to HBM)",

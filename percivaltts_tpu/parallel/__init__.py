@@ -3,3 +3,4 @@ from percivaltts_tpu.parallel.mesh import (  # noqa: F401
     replicate_state,
     shard_batch,
 )
+from percivaltts_tpu.parallel import distributed  # noqa: F401

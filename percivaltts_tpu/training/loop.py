@@ -27,7 +27,11 @@ import numpy as np
 
 from percivaltts_tpu.config import Configuration
 from percivaltts_tpu.data.dataset import Dataset
-from percivaltts_tpu.parallel.mesh import replicate_state, shard_batch
+from percivaltts_tpu.parallel.distributed import (
+    global_batch,
+    global_stacked_batch,
+    replicate_state_global,
+)
 from percivaltts_tpu.training.checkpoints import CheckpointManager
 from percivaltts_tpu.training.lse import lse_eval_step, lse_step
 from percivaltts_tpu.training.state import GANState, make_gan_state
@@ -119,7 +123,10 @@ class Trainer:
 
         self.state: GANState = make_gan_state(cfg, train_ds.label_dim)
         if mesh is not None:
-            self.state = replicate_state(self.state, mesh)
+            # process-aware: replicates across all hosts' devices when the
+            # mesh is global (multi-host training); plain device_put
+            # otherwise
+            self.state = replicate_state_global(self.state, mesh)
 
         def _maybe_norm(fn):
             if in_stats is None:
@@ -216,7 +223,9 @@ class Trainer:
     def _put(self, batch):
         batch = self._cast(batch)
         if self.mesh is not None:
-            return shard_batch(batch, self.mesh)
+            # under multi-host every process iterates the same deterministic
+            # global batch sequence and this ships only its local rows
+            return global_batch(batch, self.mesh)
         return batch
 
     def _cast(self, batch):
@@ -260,9 +269,7 @@ class Trainer:
                 for critic_b, gen_b in _group_wgan_batches(batches, group):
                     cb = self._cast(critic_b)
                     if self.mesh is not None:
-                        from percivaltts_tpu.parallel.mesh import shard_stacked_batch
-
-                        cb = shard_stacked_batch(cb, self.mesh)
+                        cb = global_stacked_batch(cb, self.mesh)
                     nf = float(critic_b["mask"].sum() + gen_b["mask"].sum())
                     yield cb, self._put(gen_b), nf
 

@@ -1,0 +1,62 @@
+"""Multi-host (multi-process) data parallelism: 2-process CPU equality test.
+
+VERDICT round-1 item 5: the multi-host path must exist and be proven — two
+processes joined by ``jax.distributed.initialize`` (Gloo CPU collectives)
+must compute exactly the same training trajectory as one process with the
+same global device count.
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run(nproc: int, dev_per: int, port: int):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), str(nproc), str(port), str(dev_per)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(nproc)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+    results = []
+    for o in outs:
+        m = re.search(r"RESULT loss=([\d.eE+-]+) checksum=([\d.eE+-]+)", o)
+        assert m, o[-3000:]
+        results.append((float(m.group(1)), float(m.group(2))))
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_matches_single_process():
+    single = _run(1, 4, _free_port())[0]
+    two = _run(2, 2, _free_port())
+    # both processes of the 2-proc run agree with each other...
+    np.testing.assert_allclose(two[0], two[1], rtol=1e-6)
+    # ...and with the single-process 4-device run
+    np.testing.assert_allclose(two[0][0], single[0], rtol=2e-4)
+    np.testing.assert_allclose(two[0][1], single[1], rtol=2e-4)
