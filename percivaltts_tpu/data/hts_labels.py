@@ -91,18 +91,63 @@ def parse_label_file(path: str) -> List[LabelEntry]:
 
 
 def _wildcard_to_regex(pattern: str) -> re.Pattern:
-    """Convert a Merlin/HTK question pattern (``*`` wildcards, everything
-    else literal) into an anchored regex over the full-context label."""
+    """Convert a Merlin/HTK question pattern (``*``/``?`` wildcards,
+    everything else literal) into an anchored regex over the full-context
+    label."""
     out = []
     if not pattern.startswith("*"):
         out.append("^")
     for ch in pattern:
         if ch == "*":
             out.append(".*")
+        elif ch == "?":
+            out.append(".")
         else:
             out.append(re.escape(ch))
     if not pattern.endswith("*"):
         out.append("$")
+    return re.compile("".join(out))
+
+
+# numeric tokens Merlin's CQS questions embed in otherwise-literal patterns
+# (label_normalisation's convert_number_pattern forms); the parenthesized
+# forms capture, the bare forms skip a number without capturing
+_CQS_CAPTURES = (
+    r"(\d+)",
+    r"([\d\.]+)",
+    r"([-\d]+)",
+    r"([-\d\.]+)",
+    r"\d+",
+    r"[\d\.]+",
+)
+
+
+def _cqs_to_regex(pattern: str) -> re.Pattern:
+    """Convert a Merlin CQS pattern to a regex.
+
+    Everything is literal except ``*``/``?`` wildcards and the numeric
+    capture tokens (``(\\d+)``, ``([\\d\\.]+)``, …), which pass through as
+    capture groups. Full-context labels are full of regex metacharacters
+    (``+ | $ . ! ;`` are slot delimiters), so escaping the literals is
+    load-bearing: ``{/J:(\\d+)+}`` must match a literal ``+`` after the
+    number, not apply a quantifier."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        for tok in _CQS_CAPTURES:
+            if pattern.startswith(tok, i):
+                out.append(tok)
+                i += len(tok)
+                break
+        else:
+            ch = pattern[i]
+            if ch == "*":
+                out.append(".*")
+            elif ch == "?":
+                out.append(".")
+            else:
+                out.append(re.escape(ch))
+            i += 1
     return re.compile("".join(out))
 
 
@@ -147,12 +192,7 @@ class QuestionSet:
                 if kind == "QS":
                     compiled = [_wildcard_to_regex(p) for p in pats]
                 else:
-                    # CQS patterns are raw regexes with a numeric capture
-                    # group; wildcards may still appear around it.
-                    compiled = []
-                    for p in pats:
-                        rx = p.replace("*", ".*")
-                        compiled.append(re.compile(rx))
+                    compiled = [_cqs_to_regex(p) for p in pats]
                 questions.append(Question(kind, name, compiled))
         if not questions:
             raise ValueError(f"{path}: no QS/CQS questions found")
@@ -170,12 +210,20 @@ class QuestionSet:
             else:
                 for pat in q.patterns:
                     m = pat.search(label)
-                    if m and m.lastindex:
+                    if not m:
+                        continue
+                    if m.lastindex:
+                        # first numeric capture; malformed numbers (e.g. a
+                        # lone "-" matched by [-\d]+) answer 0.0
                         try:
                             out[i] = float(m.group(1))
                         except ValueError:
-                            pass
-                        break
+                            out[i] = 0.0
+                    else:
+                        # a CQS pattern without a capture degenerates to a
+                        # binary match (Merlin tolerates these)
+                        out[i] = 1.0
+                    break
         return out
 
 
