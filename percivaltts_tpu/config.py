@@ -200,6 +200,11 @@ class TrainConfig:
     # instead of replicating it (capacity scales with device count); each
     # device samples from its local shard via a shard_map gather
     shard_corpus: bool = False
+    # capture a jax.profiler trace (workdir/traces, TensorBoard/Perfetto
+    # readable) around this many steady-state steps of the first
+    # post-compile epoch; 0 = off. Per-step wall-clock timing flows into
+    # metrics.jsonl either way.
+    profile_steps: int = 0
     seed: int = 123
     debug_nans: bool = False
 

@@ -32,7 +32,6 @@ class F0Result(NamedTuple):
     f0: jax.Array  # (frames,) continuous f0 in Hz (interpolated through unvoiced)
     vuv: jax.Array  # (frames,) {0., 1.} voicing decision
     raw_f0: jax.Array  # (frames,) f0 where voiced, 0 elsewhere
-    aperiodicity: jax.Array  # (frames,) CMND value at the chosen lag ∈ [0, ~1+]
 
 
 def _next_pow2(n: int) -> int:
@@ -163,7 +162,6 @@ def estimate_f0(
         f0=f0_cont,
         vuv=voiced.astype(jnp.float32),
         raw_f0=raw,
-        aperiodicity=ap,
     )
 
 

@@ -37,6 +37,7 @@ from percivaltts_tpu.training.lse import lse_eval_step, lse_step
 from percivaltts_tpu.training.state import GANState, make_gan_state
 from percivaltts_tpu.training.wgan import make_wgan_step
 from percivaltts_tpu.utils.logging import MetricsLogger, print_log
+from percivaltts_tpu.utils.profiling import StepTimer, trace
 
 
 def _group_wgan_batches(
@@ -64,6 +65,43 @@ def _group_wgan_batches(
         cycled = [buf[i % len(buf)] for i in range(group)]
         critic = {k: np.stack([x[k] for x in cycled[:-1]]) for k in cycled[0]}
         yield critic, cycled[-1]
+
+
+class _EpochProfiler:
+    """Per-epoch step instrumentation: a ``jax.profiler`` trace around the
+    first ``TrainConfig.profile_steps`` steps of the profiling epoch (the
+    first post-compile one), plus per-step dispatch timing that flows into
+    the epoch's metrics record (SURVEY.md §5 "Tracing/profiling")."""
+
+    def __init__(self, workdir: str, profile_steps: int, active: bool):
+        self.timer = StepTimer()
+        self.remaining = profile_steps if (active and profile_steps > 0) else 0
+        self._ctx = None
+        if self.remaining:
+            self._ctx = trace(workdir)
+            self._ctx.__enter__()
+
+    def step(self, fn, *args):
+        self.timer.start()
+        out = fn(*args)
+        self.timer.stop()
+        if self.remaining:
+            self.remaining -= 1
+            if self.remaining == 0:
+                # traced steps must have executed before the trace closes
+                jax.block_until_ready(out)
+                self._close()
+        return out
+
+    def _close(self):
+        if self._ctx is not None:
+            self._ctx.__exit__(None, None, None)
+            self._ctx = None
+
+    def summary(self) -> Dict[str, float]:
+        self._close()
+        t = self.timer
+        return {"step_mean_s": t.mean, "step_max_s": t.max}
 
 
 class Trainer:
@@ -200,6 +238,8 @@ class Trainer:
 
         self.best_valid = float("inf")
         self.best_epoch = -1
+        # profile the first post-compile epoch (epoch 0 compiles the step)
+        self._profile_epoch = 1 if cfg.train.epochs > 1 else 0
 
     # ------------------------------------------------------------------ #
 
@@ -260,6 +300,11 @@ class Trainer:
         agg: Dict[str, float] = {}
         nsteps = 0
         frames = 0.0
+        prof = _EpochProfiler(
+            self.workdir,
+            self.cfg.train.profile_steps,
+            active=epoch == self._profile_epoch,
+        )
         if self.cfg.train.trainer == "wgan":
             group = self.cfg.train.n_critic + 1
 
@@ -275,7 +320,7 @@ class Trainer:
 
             metrics_log = []
             for cb, gb, nf in prefetch(prepared()):
-                self.state, m = self._wgan_step(self.state, cb, gb)
+                self.state, m = prof.step(self._wgan_step, self.state, cb, gb)
                 nsteps += 1
                 frames += nf
                 metrics_log.append(m)
@@ -287,7 +332,7 @@ class Trainer:
 
             metrics_log = []
             for gb, nf in prefetch(prepared()):
-                self.state, m = self._lse_step(self.state, gb)
+                self.state, m = prof.step(self._lse_step, self.state, gb)
                 nsteps += 1
                 frames += nf
                 metrics_log.append(m)
@@ -299,6 +344,7 @@ class Trainer:
         dt = time.time() - t0
         out = {k: v / max(nsteps, 1) for k, v in agg.items()}
         out.update(steps=nsteps, sec=dt, frames_per_sec=frames / max(dt, 1e-9))
+        out.update(prof.summary())
         return out
 
     def _train_epoch_device(self, epoch: int, t0: float) -> Dict[str, float]:
@@ -315,6 +361,11 @@ class Trainer:
         )
         # metrics stay on device until epoch end — a float() per step costs a
         # ~30 ms tunnel round-trip and would dominate the 29 ms step
+        prof = _EpochProfiler(
+            self.workdir,
+            self.cfg.train.profile_steps,
+            active=epoch == self._profile_epoch,
+        )
         metrics_log = []
         nsteps = 0
         for idx in self.dcorpus.epoch_indices(
@@ -324,8 +375,8 @@ class Trainer:
             seed=d.shuffle_seed,
             num_steps=self.cfg.train.steps_per_epoch,
         ):
-            self.state, m = step_fn(
-                self.state, self.dcorpus.data, self.dcorpus.shard_indices(idx)
+            self.state, m = prof.step(
+                step_fn, self.state, self.dcorpus.data, self.dcorpus.shard_indices(idx)
             )
             metrics_log.append(m)
             nsteps += 1
@@ -341,6 +392,7 @@ class Trainer:
         frames = nsteps * group * d.batch_size * self.dcorpus.bound
         out = {k: v / max(nsteps, 1) for k, v in agg.items()}
         out.update(steps=nsteps, sec=dt, frames_per_sec=frames / max(dt, 1e-9))
+        out.update(prof.summary())
         return out
 
     def _validate(self) -> float:

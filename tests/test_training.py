@@ -205,3 +205,22 @@ def test_validation_is_frame_weighted(tmp_path):
     expect = float(np.concatenate(preds).mean())
     tr.close()
     np.testing.assert_allclose(va, expect, rtol=2e-3)
+
+
+def test_profile_steps_emits_trace_and_timings(tmp_path):
+    """TrainConfig.profile_steps captures a jax.profiler trace of the first
+    post-compile epoch and step timings land in the epoch records."""
+    import json
+
+    cfg = _cfg(workdir=str(tmp_path), epochs=2, profile_steps=2)
+    ds = _toy_ds(n=12)
+    tr = Trainer(cfg, ds, ds)
+    tr.train()
+    tr.close()
+    trace_dir = os.path.join(str(tmp_path), "traces")
+    assert os.path.isdir(trace_dir) and os.listdir(trace_dir)
+    records = [
+        json.loads(l) for l in open(os.path.join(str(tmp_path), "metrics.jsonl"))
+    ]
+    epochs = [r for r in records if r.get("kind") == "epoch"]
+    assert all("step_mean_s" in r and r["step_mean_s"] > 0 for r in epochs)
