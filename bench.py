@@ -35,11 +35,45 @@ import time
 
 import numpy as np
 
-# torch eager f32, same layer sizes, 1-core host CPU (2026-08-16):
-# 838.5 frames/s at B=8 T=128 (scale-invariant 777–838 across shapes)
-CPU_BASELINE_FRAMES_PER_SEC = 838.5
+# torch eager f32, same layer sizes, 1-core host CPU, measured at the SAME
+# shape as this bench (B=32, T=512, n_critic=5; 235 s/step, 2026-08-16).
+# The earlier B=8/T=128 extrapolation read 838.5 — "scale-invariant to
+# first order" was off 2× at the 16× shape gap; this anchor removes it.
+CPU_BASELINE_FRAMES_PER_SEC = 418.4
 
 L, B, T, NC = 425, 32, 512, 5
+
+# peak dense-matmul throughput per chip (bf16, FLOP/s) by device kind —
+# the denominator for MFU. The models compute in bf16 on the MXU
+# (ModelConfig.compute_dtype), so bf16 peak is the honest ceiling.
+_PEAK_FLOPS = (
+    ("v6", 918e12),  # Trillium
+    ("v5p", 459e12),
+    ("v5", 197e12),  # v5e / "v5 lite"
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 45e12),
+)
+
+
+def _peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower().replace(" ", "")
+    for tag, peak in _PEAK_FLOPS:
+        if tag in kind:
+            return peak
+    return None
+
+
+def _flops_per_step(step, *args) -> float | None:
+    """Analytic FLOPs of one compiled step from XLA's HLO cost analysis."""
+    try:
+        ca = step.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
 
 
 def _cfg(config: int):
@@ -131,6 +165,12 @@ def main() -> None:
         "unit": "frames/sec/chip",
         "vs_baseline": round(frames_per_sec / CPU_BASELINE_FRAMES_PER_SEC, 2),
     }
+    flops = _flops_per_step(step, state, *step_args)
+    peak = _peak_flops(jax.devices()[0])
+    if flops is not None:
+        out["flops_per_step"] = round(flops)
+        if peak is not None:
+            out["mfu_pct"] = round(100.0 * flops / dt / peak, 2)
     print(json.dumps(out))
 
 
