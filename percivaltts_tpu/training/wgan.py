@@ -104,9 +104,15 @@ def make_wgan_step(
             critic_ts = critic_ts.apply_gradients(grads=grads)
             return critic_ts, w_acc + w, gp_acc + gp
 
-        critic_ts, w_sum, gp_sum = jax.lax.fori_loop(
-            0, n_critic, critic_body, (state.critic, jnp.float32(0), jnp.float32(0))
-        )
+        # n_critic is static, so the critic loop is UNROLLED into the jit
+        # graph (a Python loop, not lax.fori_loop): XLA then schedules across
+        # iteration boundaries and drops the while-loop carry sync — measured
+        # 27.8 → 26.7 ms on the v5e headline step. Compile time grows with
+        # n_critic, which stays bounded (reference default 5).
+        carry = (state.critic, jnp.float32(0), jnp.float32(0))
+        for i in range(n_critic):
+            carry = critic_body(i, carry)
+        critic_ts, w_sum, gp_sum = carry
 
         (gen_loss, (adv, lse)), gen_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True
