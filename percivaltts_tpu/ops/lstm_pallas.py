@@ -1,0 +1,368 @@
+"""Fused bidirectional-LSTM Pallas kernel for TPU.
+
+Reference parity: the BLSTM layers of percivaltts's recurrent generators
+(``percivaltts/models_basic.py``; SURVEY.md §2 "Generator: basic" — file-level
+cite, mount empty). Numerics match ``models/rnn.py``'s XLA-scan BiLSTM (same
+gate math as flax ``OptimizedLSTMCell``), which remains the oracle.
+
+Why a kernel: an LSTM scan under XLA is *latency*-bound — T sequential while
+iterations, each a handful of small ops with per-iteration launch/sync
+overhead (measured ~6 µs/step on v5e regardless of unroll 16→32; the gate
+FLOPs themselves are <1 µs). Pallas runs the whole sequence as ONE kernel:
+a sequential grid over time blocks, recurrent carries resident in VMEM
+scratch across grid steps, the hop-invariant input projections hoisted to
+one big MXU GEMM outside the kernel, and the time-block input/output
+streaming double-buffered by the pallas pipeline. Both directions execute
+in the same kernel (the backward direction reads its time blocks
+back-to-front via the BlockSpec index map — no reversed copy of the
+sequence is ever materialized).
+
+Layout: time-major ``(T, B, 4H)`` gate blocks of K frames — the sublane
+dimension is the batch (any B; tiles pad per block only) and the lane
+dimension 4H is a multiple of 128, so blocks tile cleanly for every dtype.
+
+Training: ``bilstm_core`` carries a custom VJP whose backward pass is a
+second Pallas kernel running BPTT in one launch — gates are *recomputed*
+from the saved inputs (memory-light), dWh is accumulated in f32 VMEM
+scratch across all T steps, and the per-step d(gates) stream out so the
+input-projection/bias/x gradients reduce to big XLA GEMMs outside.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# VMEM budget for the pipelined time blocks (double-buffered by pallas);
+# leaves headroom under the 16 MB/core limit for weights, carries and the
+# dWh accumulators.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _pick_block(T: int, B: int, H: int, itemsize: int, h_units: int) -> int:
+    """Largest time-block size (≤ 16) dividing T whose double-buffered
+    block footprint fits the VMEM budget. ``h_units``: total block bytes
+    per frame per batch row, in units of H·itemsize (12 for the forward
+    kernel: 2×4H in + 4×H out; 24 for the BPTT kernel)."""
+    per_k = h_units * H * B * itemsize * 2  # ×2: double buffering
+    for k in (16, 8, 4, 2, 1):
+        if T % k == 0 and k * per_k <= _VMEM_BUDGET:
+            return k
+    return 1
+
+
+def _gates(z, H):
+    i = jax.nn.sigmoid(z[:, :H])
+    f = jax.nn.sigmoid(z[:, H : 2 * H])
+    g = jnp.tanh(z[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(z[:, 3 * H :])
+    return i, f, g, o
+
+
+def _dot(a, b):
+    """(B, H) @ (H, 4H) on the MXU, f32 accumulate."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_t(a, b):
+    """(B, 4H) @ (H, 4H)ᵀ → (B, H): contract the 4H axes (no transpose op)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _outer(a, b):
+    """(B, H)ᵀ @ (B, 4H) → (H, 4H): contract the batch axes."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+# --------------------------------------------------------------------------- #
+# forward
+# --------------------------------------------------------------------------- #
+
+
+def _fwd_kernel(gxf_ref, gxb_ref, whf_ref, whb_ref,
+                yf_ref, yb_ref, cf_ref, cb_ref,
+                hf, cf, hb, cb):
+    """One grid step = K forward frames (ascending) + K backward frames
+    (descending, from the mirrored block). Carries live in VMEM scratch."""
+    K = gxf_ref.shape[0]
+    H = whf_ref.shape[0]
+    dt = gxf_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        hf[:] = jnp.zeros_like(hf)
+        cf[:] = jnp.zeros_like(cf)
+        hb[:] = jnp.zeros_like(hb)
+        cb[:] = jnp.zeros_like(cb)
+
+    whf = whf_ref[:]
+    whb = whb_ref[:]
+    for k in range(K):
+        # forward direction, frame k of this block
+        zf = gxf_ref[k].astype(jnp.float32) + _dot(hf[:].astype(dt), whf)
+        i, f, g, o = _gates(zf, H)
+        c_new = f * cf[:] + i * g
+        h_new = o * jnp.tanh(c_new)
+        cf[:] = c_new
+        hf[:] = h_new
+        yf_ref[k] = h_new.astype(dt)
+        cf_ref[k] = c_new.astype(dt)
+
+        # backward direction, frame K-1-k of the mirrored block
+        kb = K - 1 - k
+        zb = gxb_ref[kb].astype(jnp.float32) + _dot(hb[:].astype(dt), whb)
+        i, f, g, o = _gates(zb, H)
+        c_new = f * cb[:] + i * g
+        h_new = o * jnp.tanh(c_new)
+        cb[:] = c_new
+        hb[:] = h_new
+        yb_ref[kb] = h_new.astype(dt)
+        cb_ref[kb] = c_new.astype(dt)
+
+
+def _bilstm_fwd_pallas(gx_f, gx_b, wh_f, wh_b, interpret=False):
+    T, B, H4 = gx_f.shape
+    H = H4 // 4
+    dt = gx_f.dtype
+    K = _pick_block(T, B, H, gx_f.dtype.itemsize, 12)
+    G = T // K
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((T, B, H), dt),  # yf
+        jax.ShapeDtypeStruct((T, B, H), dt),  # yb
+        jax.ShapeDtypeStruct((T, B, H), dt),  # cf
+        jax.ShapeDtypeStruct((T, B, H), dt),  # cb
+    )
+    blk = lambda i: (i, 0, 0)
+    rblk = lambda i: (G - 1 - i, 0, 0)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((K, B, H4), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, H4), rblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((K, B, H), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, H), rblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, H), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, H), rblk, memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),  # hf
+            pltpu.VMEM((B, H), jnp.float32),  # cf
+            pltpu.VMEM((B, H), jnp.float32),  # hb
+            pltpu.VMEM((B, H), jnp.float32),  # cb
+        ],
+        interpret=interpret,
+    )(gx_f, gx_b, wh_f, wh_b)
+
+
+# --------------------------------------------------------------------------- #
+# backward (BPTT)
+# --------------------------------------------------------------------------- #
+
+
+def _bwd_kernel(gxf_ref, gxb_ref, whf_ref, whb_ref, whtf_ref, whtb_ref,
+                hpf_ref, hpb_ref, cpf_ref, cpb_ref,
+                cf_ref, cb_ref, dyf_ref, dyb_ref,
+                dgxf_ref, dgxb_ref,
+                dhf, dcf, dhb, dcb):
+    """One grid step = K BPTT frames. The fwd direction's BPTT runs
+    time-REVERSED (grid reads blocks back-to-front), the bwd direction's
+    BPTT runs time-forward. Gates are recomputed from the saved inputs.
+    Only the sequential work lives here: the d(gates) stream out and the
+    weight/bias/input gradients are big XLA GEMMs outside the kernel.
+    All in-kernel matmuls contract lhs-lanes against rhs-sublanes (the MXU
+    layout) — dh uses the PRE-TRANSPOSED (4H, H) recurrent kernels, since
+    a lane-lane contraction would fall off the MXU."""
+    K = gxf_ref.shape[0]
+    H = whf_ref.shape[0]
+    dt = gxf_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dhf[:] = jnp.zeros_like(dhf)
+        dcf[:] = jnp.zeros_like(dcf)
+        dhb[:] = jnp.zeros_like(dhb)
+        dcb[:] = jnp.zeros_like(dcb)
+
+    whf = whf_ref[:]
+    whb = whb_ref[:]
+    whtf = whtf_ref[:]
+    whtb = whtb_ref[:]
+    for k in range(K):
+        # ---- forward direction BPTT: frame K-1-k of the mirrored block ----
+        kf = K - 1 - k
+        z = gxf_ref[kf].astype(jnp.float32) + _dot(hpf_ref[kf], whf)
+        i, f, g, o = _gates(z, H)
+        c = cf_ref[kf].astype(jnp.float32)
+        cprev = cpf_ref[kf].astype(jnp.float32)
+        tc = jnp.tanh(c)
+        dh = dyf_ref[kf].astype(jnp.float32) + dhf[:]
+        dc = dcf[:] + dh * o * (1.0 - tc * tc)
+        dz = jnp.concatenate(
+            [
+                dc * g * i * (1.0 - i),
+                dc * cprev * f * (1.0 - f),
+                dc * i * (1.0 - g * g),
+                dh * tc * o * (1.0 - o),
+            ],
+            axis=-1,
+        ).astype(dt)
+        dgxf_ref[kf] = dz
+        dhf[:] = _dot(dz, whtf)
+        dcf[:] = dc * f
+
+        # ---- backward direction BPTT: frame k of this block --------------- #
+        z = gxb_ref[k].astype(jnp.float32) + _dot(hpb_ref[k], whb)
+        i, f, g, o = _gates(z, H)
+        c = cb_ref[k].astype(jnp.float32)
+        cprev = cpb_ref[k].astype(jnp.float32)
+        tc = jnp.tanh(c)
+        dh = dyb_ref[k].astype(jnp.float32) + dhb[:]
+        dc = dcb[:] + dh * o * (1.0 - tc * tc)
+        dz = jnp.concatenate(
+            [
+                dc * g * i * (1.0 - i),
+                dc * cprev * f * (1.0 - f),
+                dc * i * (1.0 - g * g),
+                dh * tc * o * (1.0 - o),
+            ],
+            axis=-1,
+        ).astype(dt)
+        dgxb_ref[k] = dz
+        dhb[:] = _dot(dz, whtb)
+        dcb[:] = dc * f
+
+
+def _bilstm_bwd_pallas(gx_f, gx_b, wh_f, wh_b, hp_f, hp_b, cp_f, cp_b,
+                       cf, cb, dyf, dyb, interpret=False):
+    T, B, H4 = gx_f.shape
+    H = H4 // 4
+    dt = gx_f.dtype
+    K = _pick_block(T, B, H, gx_f.dtype.itemsize, 22)
+    G = T // K
+
+    blk = lambda i: (G - 1 - i, 0, 0)   # fwd-direction BPTT: reversed
+    fblk = lambda i: (i, 0, 0)          # bwd-direction BPTT: forward
+    w0 = lambda i: (0, 0)
+    spec = lambda m: pl.BlockSpec((K, B, H4), m, memory_space=pltpu.VMEM)
+    hspec = lambda m: pl.BlockSpec((K, B, H), m, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=(G,),
+        in_specs=[
+            spec(blk),                                       # gx_f
+            spec(fblk),                                      # gx_b
+            pl.BlockSpec((H, H4), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H4, H), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H4, H), w0, memory_space=pltpu.VMEM),
+            hspec(blk),                                      # hprev_f
+            hspec(fblk),                                     # hprev_b
+            hspec(blk),                                      # cprev_f
+            hspec(fblk),                                     # cprev_b
+            hspec(blk),                                      # cf
+            hspec(fblk),                                     # cb
+            hspec(blk),                                      # dyf
+            hspec(fblk),                                     # dyb
+        ],
+        out_specs=(
+            spec(blk),                                       # dgx_f
+            spec(fblk),                                      # dgx_b
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H4), dt),
+            jax.ShapeDtypeStruct((T, B, H4), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),   # dhf
+            pltpu.VMEM((B, H), jnp.float32),   # dcf
+            pltpu.VMEM((B, H), jnp.float32),   # dhb
+            pltpu.VMEM((B, H), jnp.float32),   # dcb
+        ],
+        interpret=interpret,
+    )(gx_f, gx_b, wh_f, wh_b, wh_f.T, wh_b.T,
+      hp_f, hp_b, cp_f, cp_b, cf, cb, dyf, dyb)
+
+
+# --------------------------------------------------------------------------- #
+# custom-VJP core
+# --------------------------------------------------------------------------- #
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def bilstm_core(gx_f, gx_b, wh_f, wh_b, interpret=False):
+    """(T, B, 4H) pre-computed input gates per direction + (H, 4H) recurrent
+    kernels → (yf, yb) each (T, B, H). The backward direction runs over the
+    same time axis back-to-front (``keep_order`` semantics: yb[t] is the
+    backward hidden state at frame t)."""
+    yf, yb, _, _ = _bilstm_fwd_pallas(gx_f, gx_b, wh_f, wh_b, interpret)
+    return yf, yb
+
+
+def _core_fwd(gx_f, gx_b, wh_f, wh_b, interpret):
+    yf, yb, cf, cb = _bilstm_fwd_pallas(gx_f, gx_b, wh_f, wh_b, interpret)
+    return (yf, yb), (gx_f, gx_b, wh_f, wh_b, yf, yb, cf, cb)
+
+
+def _core_bwd(interpret, res, grads):
+    gx_f, gx_b, wh_f, wh_b, yf, yb, cf, cb = res
+    dyf, dyb = grads
+    z = jnp.zeros_like(yf[:1])
+    # "previous" state per direction: t-1 for fwd, t+1 for bwd
+    hp_f = jnp.concatenate([z, yf[:-1]], axis=0)
+    cp_f = jnp.concatenate([z, cf[:-1]], axis=0)
+    hp_b = jnp.concatenate([yb[1:], z], axis=0)
+    cp_b = jnp.concatenate([cb[1:], z], axis=0)
+    dgx_f, dgx_b = _bilstm_bwd_pallas(
+        gx_f, gx_b, wh_f, wh_b, hp_f, hp_b, cp_f, cp_b, cf, cb, dyf, dyb,
+        interpret,
+    )
+    # dWh = Σ_t h_{prev,t}ᵀ · dz_t — one big (H, T·B)×(T·B, 4H) MXU GEMM in
+    # XLA rather than a per-frame outer-product accumulation in the kernel
+    # (a sublane-sublane contraction that falls off the MXU).
+    dwh_f = jnp.einsum("tbh,tbg->hg", hp_f, dgx_f)
+    dwh_b = jnp.einsum("tbh,tbg->hg", hp_b, dgx_b)
+    return dgx_f, dgx_b, dwh_f.astype(wh_f.dtype), dwh_b.astype(wh_b.dtype)
+
+
+bilstm_core.defvjp(_core_fwd, _core_bwd)
+
+
+def bilstm_pallas(
+    x: jax.Array,
+    wi_f: jax.Array,
+    wh_f: jax.Array,
+    b_f: jax.Array,
+    wi_b: jax.Array,
+    wh_b: jax.Array,
+    b_b: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, T, D) → (B, T, 2H) fused bidirectional LSTM.
+
+    The input projections run as two big XLA GEMMs (MXU-efficient, part of
+    the surrounding jit so they fuse/overlap); only the sequential recurrence
+    runs in the Pallas kernel. Gate order i, f, g, o matches models/rnn.py.
+    """
+    gx_f = (x @ wi_f + b_f).swapaxes(0, 1)  # (T, B, 4H)
+    gx_b = (x @ wi_b + b_b).swapaxes(0, 1)
+    yf, yb = bilstm_core(gx_f, gx_b, wh_f, wh_b, interpret)
+    return jnp.concatenate([yf, yb], axis=-1).swapaxes(0, 1)

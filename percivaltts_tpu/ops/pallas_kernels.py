@@ -31,6 +31,10 @@ kernels — the 80→128 lane-padding relayout and per-program DMA serialization
 cost more than XLA's fused slicing, so **stft()/istft() default to the XLA
 path**; the kernels remain as compiled-and-verified alternates for shapes
 where manual DMA scheduling wins (e.g. hop a multiple of 128).
+
+Where Pallas DOES win in this codebase is the *latency*-bound construct XLA
+cannot flatten — the BLSTM recurrence: see ``ops/lstm_pallas.py`` (2.5×
+over the XLA scan on the training path, used by default on TPU).
 """
 
 from __future__ import annotations

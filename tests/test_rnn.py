@@ -6,10 +6,22 @@ from flax import linen as nn
 
 from percivaltts_tpu.models.rnn import BiLSTM
 
+GATES = "ifgo"
+
+
+def _flax_cell_params(p):
+    """Map BiLSTM's per-direction per-gate params onto the parameter tree of
+    flax's OptimizedLSTMCell (i{c}: kernel only; h{c}: kernel + bias)."""
+    d = {}
+    for c in GATES:
+        d[f"i{c}"] = {"kernel": p[f"i{c}"]}
+        d[f"h{c}"] = {"kernel": p[f"h{c}"], "bias": p[f"b{c}"]}
+    return d
+
 
 def test_bilstm_matches_two_rnn_oracle():
-    """The fused single-scan BiLSTM must equal two independent nn.RNN passes
-    (forward + time-reversed) using the same cell parameters."""
+    """The fused BiLSTM must equal two independent nn.RNN passes (forward +
+    time-reversed) built from the same per-gate parameters."""
     B, T, D, H = 2, 12, 5, 4
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
@@ -19,13 +31,37 @@ def test_bilstm_matches_two_rnn_oracle():
     out = bi.apply(params, x)
     assert out.shape == (B, T, 2 * H)
 
-    cell_params = params["params"]["cell"]
+    pp = params["params"]
     fwd_rnn = nn.RNN(nn.OptimizedLSTMCell(H))
     bwd_rnn = nn.RNN(nn.OptimizedLSTMCell(H), reverse=True, keep_order=True)
-    yf = fwd_rnn.apply({"params": {"cell": cell_params["fwd"]}}, x)
-    yb = bwd_rnn.apply({"params": {"cell": cell_params["bwd"]}}, x)
+    yf = fwd_rnn.apply({"params": {"cell": _flax_cell_params(pp["fwd"])}}, x)
+    yb = bwd_rnn.apply({"params": {"cell": _flax_cell_params(pp["bwd"])}}, x)
     oracle = jnp.concatenate([yf, yb], axis=-1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(oracle), atol=2e-5)
+
+
+def test_bilstm_pallas_matches_scan():
+    """The Pallas kernel path (interpret mode on CPU) must match the fused
+    scan fallback bit-for-bit in f32 — forward and gradients."""
+    B, T, D, H = 2, 16, 5, 4
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    scan_m = BiLSTM(H, compute_dtype="float32", use_pallas=False)
+    pal_m = BiLSTM(
+        H, compute_dtype="float32", use_pallas=True, pallas_interpret=True
+    )
+    params = scan_m.init(jax.random.key(0), x)
+    y_scan = scan_m.apply(params, x)
+    y_pal = pal_m.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_scan), atol=1e-5)
+
+    def loss(m):
+        return lambda p, x: jnp.sum(jnp.sin(m.apply(p, x)))
+
+    g_scan = jax.grad(loss(scan_m), argnums=(0, 1))(params, x)
+    g_pal = jax.grad(loss(pal_m), argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(g_pal), jax.tree.leaves(g_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
 def test_bilstm_direction_params_differ():
@@ -33,12 +69,12 @@ def test_bilstm_direction_params_differ():
     x = jnp.ones((B, T, D))
     bi = BiLSTM(H, compute_dtype="float32")
     params = bi.init(jax.random.key(1), x)
-    cp = params["params"]["cell"]
-    assert "fwd" in cp and "bwd" in cp
+    pp = params["params"]
+    assert "fwd" in pp and "bwd" in pp
     # distinct parameters per direction (not shared): at least one pair of
     # corresponding leaves (the kernels; biases init to zero) must differ
-    lf = jax.tree.leaves(cp["fwd"])
-    lb = jax.tree.leaves(cp["bwd"])
+    lf = jax.tree.leaves(pp["fwd"])
+    lb = jax.tree.leaves(pp["bwd"])
     assert len(lf) == len(lb)
     assert any(
         a.shape == b.shape and not np.allclose(np.asarray(a), np.asarray(b))
@@ -61,3 +97,14 @@ def test_bilstm_grad_flows_and_unroll_consistent():
             np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=1e-5)
     g = jax.grad(lambda p: bi.apply(p, x).sum())(params)
     assert all(np.isfinite(l).all() for l in jax.tree.leaves(g))
+
+
+def test_bgru_runs_and_differs_from_lstm():
+    B, T, D, H = 2, 10, 5, 4
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    gru = BiLSTM(H, cell_type="gru", compute_dtype="float32")
+    pg = gru.init(jax.random.key(0), x)
+    yg = gru.apply(pg, x)
+    assert yg.shape == (B, T, 2 * H)
+    assert np.isfinite(np.asarray(yg)).all()
