@@ -131,5 +131,7 @@ def test_copy_synthesis_mcd_demo_corpus(voc, tmp_path):
         d = ca[:, 1:] - cb[:, 1:]
         pfs.append(10.0 / np.log(10.0) * np.sqrt(2.0 * np.sum(d * d, axis=-1)))
     pf = np.concatenate(pfs)
-    assert pf.mean() < 12.0, pf.mean()
-    assert np.median(pf) < 8.0, np.median(pf)
+    # measured 9.5 mean / 6.2 median on the 12-utt diagnostic corpus
+    # (round 2, unvoiced 500 Hz analysis convention); regression margin ~15%
+    assert pf.mean() < 11.0, pf.mean()
+    assert np.median(pf) < 7.5, np.median(pf)
