@@ -109,6 +109,10 @@ def main() -> None:
 
     import jax
 
+    from percivaltts_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from percivaltts_tpu.training.lse import lse_step
     from percivaltts_tpu.training.state import make_gan_state
     from percivaltts_tpu.training.wgan import make_wgan_step

@@ -136,20 +136,16 @@ def cmd_generate(args) -> int:
 
     from percivaltts_tpu.eval.generate import generate
     from percivaltts_tpu.training.checkpoints import CheckpointManager
-    from percivaltts_tpu.training.state import make_gan_state
+    from percivaltts_tpu.training.state import abstract_gan_state
 
-    state = make_gan_state(cfg, corpus.train.label_dim)
+    state = abstract_gan_state(cfg, corpus.train.label_dim)
     ckpt = CheckpointManager(os.path.join(cfg.workdir, "checkpoints"))
-
-    def _abstract(x):
-        a = jax.numpy.asarray(x)
-        return jax.ShapeDtypeStruct(a.shape, a.dtype)
 
     step = args.checkpoint
     if step is None:
         step = ckpt.latest_step() if args.latest else ckpt.best_step()
     print_log(f"generating from checkpoint step {step}")
-    state = ckpt.restore(jax.tree.map(_abstract, state), step)
+    state = ckpt.restore(state, step)
     measures = generate(
         cfg,
         state,
@@ -176,9 +172,9 @@ def cmd_synth(args) -> int:
     from percivaltts_tpu.data.compose import save_wav
     from percivaltts_tpu.data.hts_labels import QuestionSet, binarize_label_file
     from percivaltts_tpu.data.normalize import NormStats
-    from percivaltts_tpu.models.base import predict_utterance
+    from percivaltts_tpu.models.base import predict_batch
     from percivaltts_tpu.training.checkpoints import CheckpointManager
-    from percivaltts_tpu.training.state import make_gan_state
+    from percivaltts_tpu.training.state import abstract_gan_state
     from percivaltts_tpu.vocoders import get_vocoder
 
     in_stats = NormStats.load(os.path.join(cfg.workdir, "in_stats.npz"))
@@ -186,15 +182,11 @@ def cmd_synth(args) -> int:
     questions = QuestionSet.from_hed(cfg.data.question_file)
     voc = get_vocoder(cfg.vocoder)
 
-    state = make_gan_state(cfg, in_stats.shift.shape[0])
+    state = abstract_gan_state(cfg, in_stats.shift.shape[0])
     ckpt = CheckpointManager(os.path.join(cfg.workdir, "checkpoints"))
 
-    def _abstract(x):
-        a = jax.numpy.asarray(x)
-        return jax.ShapeDtypeStruct(a.shape, a.dtype)
-
     step = ckpt.best_step()
-    state = ckpt.restore(jax.tree.map(_abstract, state), step)
+    state = ckpt.restore(state, step)
     print_log(f"synthesizing from checkpoint step {step}")
 
     outdir = args.out or os.path.join(cfg.workdir, "synth")
@@ -205,12 +197,16 @@ def cmd_synth(args) -> int:
     if not paths:
         raise FileNotFoundError(f"no label files match {args.labels}")
     shift_sec = cfg.vocoder.shift_ms / 1000.0
-    for p in paths:
-        lab = binarize_label_file(p, questions, shift_sec)
-        lab_n = in_stats.normalize(lab).astype(np.float32)
-        pred_n = predict_utterance(state.gen.apply_fn, state.gen.params, lab_n)
-        pred = out_stats.denormalize(pred_n).astype(np.float32)
-        wav = voc.synthesize(pred)
+    labs_n = [
+        in_stats.normalize(binarize_label_file(p, questions, shift_sec)).astype(
+            np.float32
+        )
+        for p in paths
+    ]
+    preds_n = predict_batch(state.gen.apply_fn, state.gen.params, labs_n)
+    preds = [out_stats.denormalize(p).astype(np.float32) for p in preds_n]
+    wavs = voc.synthesize_batch(preds)
+    for p, wav in zip(paths, wavs):
         uid = os.path.splitext(os.path.basename(p))[0]
         out_path = os.path.join(outdir, uid + ".wav")
         save_wav(out_path, cfg.vocoder.fs, wav)
@@ -279,6 +275,9 @@ def cmd_plot(args) -> int:
 
 
 def main(argv=None) -> int:
+    from percivaltts_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(prog="percivaltts-tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -48,3 +48,35 @@ def predict_utterance(
     x[0, :n] = lab
     y = _apply_padded(apply_fn, params, jnp.asarray(x))
     return np.asarray(y[0, :n])
+
+
+def predict_batch(
+    apply_fn: Callable,
+    params: Any,
+    labs,
+    time_multiple: int = TIME_MULTIPLE,
+    chunk: int = 8,
+) -> list:
+    """Predict a list of utterances in fixed-size stacked chunks.
+
+    All utterances of a chunk pad to the chunk's max length (rounded to
+    ``time_multiple``); short final chunks repeat their last utterance so
+    every dispatch has the same leading dimension. One device call per
+    chunk instead of one per utterance — the generation-stage equivalent
+    of ``Vocoder.analyze_batch`` (reference predicts per utterance,
+    SURVEY.md §3.4)."""
+    labs = list(labs)
+    out: list = []
+    for c0 in range(0, len(labs), chunk):
+        batch = labs[c0 : c0 + chunk]
+        ns = [b.shape[0] for b in batch]
+        real = len(batch)
+        while len(batch) < chunk and batch:
+            batch.append(batch[-1])
+        padded = -(-max(ns) // time_multiple) * time_multiple
+        x = np.zeros((len(batch), padded, batch[0].shape[1]), np.float32)
+        for j, b in enumerate(batch):
+            x[j, : b.shape[0]] = b
+        y = np.asarray(_apply_padded(apply_fn, params, jnp.asarray(x)))
+        out.extend(y[j, : ns[j]] for j in range(real))
+    return out

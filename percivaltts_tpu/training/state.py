@@ -77,3 +77,14 @@ def make_gan_state(
     return GANState(
         gen=gen_ts, critic=critic_ts, key=krest, epoch=jnp.asarray(0, jnp.int32)
     )
+
+
+def abstract_gan_state(
+    cfg: Configuration, label_dim: int, seed: Optional[int] = None
+) -> GANState:
+    """The same state with ``ShapeDtypeStruct`` leaves and no device work —
+    the restore target for checkpoint loading (``jax.eval_shape`` over
+    ``make_gan_state``). Generation/synthesis entry points use this instead
+    of initializing real parameters that the restore would immediately
+    overwrite (measured ~95 s of wasted init on the tunneled v5e)."""
+    return jax.eval_shape(lambda: make_gan_state(cfg, label_dim, seed))

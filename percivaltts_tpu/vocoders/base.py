@@ -70,6 +70,13 @@ class Vocoder:
         one; deterministic vocoders ignore it."""
         raise NotImplementedError
 
+    def synthesize_batch(self, feats_list, seed: int = 0) -> list:
+        """Synthesize several utterances; subclasses may override with a
+        single batched (vmapped) device call per chunk — one dispatch and
+        one compile variant instead of one per distinct utterance length
+        (generation-stage hot path on TPU)."""
+        return [self.synthesize(f, seed=seed) for f in feats_list]
+
     # -- measure hooks ---------------------------------------------------- #
 
     def f0_vuv(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

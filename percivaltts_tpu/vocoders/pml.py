@@ -463,6 +463,25 @@ def _pml_analyze_vmapped(wavs, **kw):
     return jax.vmap(lambda w: pml_analyze_core(w, **kw))(wavs)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "amp",
+        "fs",
+        "hop",
+        "frame_len",
+        "dftlen",
+        "f0_min",
+        "f0_max",
+        "seed",
+    ),
+)
+def _pml_synthesize_vmapped(lf0s, specs, nms, amp, **kw):
+    """vmap of a synthesis core over stacked (B, frames, ·) features."""
+    core = pml_synthesize_amp_core if amp else pml_synthesize_core
+    return jax.vmap(lambda a, b, c: core(a, b, c, **kw))(lf0s, specs, nms)
+
+
 @register
 class PMLVocoder(Vocoder):
     """PML-equivalent vocoder (see module docstring)."""
@@ -496,16 +515,24 @@ class PMLVocoder(Vocoder):
         )
         return np.asarray(feats[:nf])
 
-    def synthesize(self, feats: np.ndarray, seed: int = 0) -> np.ndarray:
+    def _pad_feats(self, feats: np.ndarray, nf_pad: int) -> np.ndarray:
+        """Pad (frames, F) features to ``nf_pad`` frames with a silence tail
+        (held lf0, floor envelope, all-noise mask)."""
         c = self.cfg
-        feats = np.asarray(feats, np.float32)
         nf = feats.shape[0]
-        nf_pad = -(-nf // FRAME_MULTIPLE) * FRAME_MULTIPLE
         fp = np.zeros((nf_pad, feats.shape[1]), np.float32)
         fp[:nf] = feats
         fp[nf:, 0] = feats[-1, 0] if nf else np.log(100.0)
         fp[nf:, 1 + c.spec_size :] = 1.0  # pure noise, zero envelope tail
         fp[nf:, 1 : 1 + c.spec_size] = -18.0
+        return fp
+
+    def synthesize(self, feats: np.ndarray, seed: int = 0) -> np.ndarray:
+        c = self.cfg
+        feats = np.asarray(feats, np.float32)
+        nf = feats.shape[0]
+        nf_pad = -(-nf // FRAME_MULTIPLE) * FRAME_MULTIPLE
+        fp = self._pad_feats(feats, nf_pad)
         core = (
             pml_synthesize_amp_core
             if c.envelope == "cheaptrick"
@@ -524,6 +551,43 @@ class PMLVocoder(Vocoder):
             seed=seed,
         )
         return np.asarray(wav[: nf * c.shift_samples])
+
+    def synthesize_batch(self, feats_list, seed: int = 0, chunk: int = 4) -> list:
+        """One vmapped device call per chunk of utterances (all padded to
+        the chunk's frame bound), instead of one jit variant + dispatch per
+        distinct utterance length. ``seed`` keys the stochastic component;
+        every utterance draws the same noise sequence, exactly as repeated
+        ``synthesize(f, seed=seed)`` calls would."""
+        c = self.cfg
+        feats_list = [np.asarray(f, np.float32) for f in feats_list]
+        out: list = []
+        for c0 in range(0, len(feats_list), chunk):
+            batch = feats_list[c0 : c0 + chunk]
+            nfs = [f.shape[0] for f in batch]
+            real = len(batch)
+            while len(batch) < chunk:
+                batch.append(batch[-1])
+                nfs.append(nfs[-1])
+            nf_pad = -(-max(nfs) // FRAME_MULTIPLE) * FRAME_MULTIPLE
+            fp = np.stack([self._pad_feats(f, nf_pad) for f in batch])
+            wavs = _pml_synthesize_vmapped(
+                jnp.asarray(fp[:, :, 0]),
+                jnp.asarray(fp[:, :, 1 : 1 + c.spec_size]),
+                jnp.asarray(fp[:, :, 1 + c.spec_size :]),
+                amp=(c.envelope == "cheaptrick"),
+                fs=c.fs,
+                hop=c.shift_samples,
+                frame_len=c.frame_samples,
+                dftlen=c.dftlen,
+                f0_min=c.f0_min,
+                f0_max=c.f0_max,
+                seed=seed,
+            )
+            wavs = np.asarray(wavs)
+            out.extend(
+                wavs[j, : nfs[j] * c.shift_samples] for j in range(real)
+            )
+        return out
 
     def analyze_batch(self, wavs) -> list:
         """One vmapped device call per chunk of utterances: all waveforms pad

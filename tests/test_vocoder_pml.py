@@ -135,3 +135,21 @@ def test_copy_synthesis_mcd_demo_corpus(voc, tmp_path):
     # (round 2, unvoiced 500 Hz analysis convention); regression margin ~15%
     assert pf.mean() < 11.0, pf.mean()
     assert np.median(pf) < 7.5, np.median(pf)
+
+
+def test_synthesize_batch_matches_per_utterance(voc):
+    rng = np.random.default_rng(7)
+    feats_list = []
+    for n in (64, 130, 200):
+        lf0 = np.full((n, 1), np.log(140.0), np.float32)
+        spec = rng.normal(-6.0, 0.5, size=(n, voc.cfg.spec_size)).astype(np.float32)
+        nm = np.clip(rng.uniform(0, 1, size=(n, voc.cfg.nm_size)), 0, 1).astype(np.float32)
+        feats_list.append(np.concatenate([lf0, spec, nm], axis=-1))
+    singles = [voc.synthesize(f, seed=3) for f in feats_list]
+    batched = voc.synthesize_batch(feats_list, seed=3, chunk=2)
+    assert len(batched) == len(singles)
+    for a, b in zip(batched, singles):
+        assert a.shape == b.shape
+        # identical cores under vmap; padding bound may differ per chunk,
+        # which only affects the (cropped-away) tail
+        np.testing.assert_allclose(a, b, atol=2e-4)
