@@ -23,9 +23,18 @@ dimension 4H is a multiple of 128, so blocks tile cleanly for every dtype.
 
 Training: ``bilstm_core`` carries a custom VJP whose backward pass is a
 second Pallas kernel running BPTT in one launch — gates are *recomputed*
-from the saved inputs (memory-light), dWh is accumulated in f32 VMEM
-scratch across all T steps, and the per-step d(gates) stream out so the
-input-projection/bias/x gradients reduce to big XLA GEMMs outside.
+from the saved inputs (memory-light), and the per-step d(gates) stream out
+so the weight/bias/input gradients reduce to big XLA GEMMs outside (the
+in-kernel dh matmul contracts against PRE-TRANSPOSED recurrent kernels; a
+lane-lane or sublane-sublane contraction falls off the MXU).
+
+Sharding: under a data-parallel mesh with the batch sharded over ``data``,
+XLA's SPMD partitioner has no partitioning rule for the custom call, so it
+gathers the kernel's operands and runs the recurrence replicated — correct
+(tested on the 8-device CPU mesh) but not partitioned. Single-chip training
+(the benched configuration) is unaffected; a fully-partitioned multi-chip
+path can either wrap the call in ``shard_map`` over ``data`` or use the
+scan fallback (``use_pallas=False``), whose ops partition natively.
 """
 
 from __future__ import annotations

@@ -108,3 +108,27 @@ def test_bgru_runs_and_differs_from_lstm():
     yg = gru.apply(pg, x)
     assert yg.shape == (B, T, 2 * H)
     assert np.isfinite(np.asarray(yg)).all()
+
+
+def test_bilstm_pallas_under_sharded_batch_jit():
+    """The Pallas path must compile and match unsharded numerics when the
+    batch is sharded over the data axis of a mesh (multi-chip DP: XLA may
+    all-gather around the kernel — correct, see module docstring)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8, 1), ("data", "model"))
+    B, T, D, H = 16, 32, 12, 8
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    pal = BiLSTM(H, compute_dtype="float32", use_pallas=True, pallas_interpret=True)
+    params = pal.init(jax.random.key(0), x)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    ps = jax.device_put(params, NamedSharding(mesh, P()))
+    y = jax.jit(pal.apply)(ps, xs)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(pal.apply(params, x)), atol=1e-5
+    )
+    g = jax.jit(jax.grad(lambda p, x: pal.apply(p, x).sum()))(ps, xs)
+    g_ref = jax.grad(lambda p, x: pal.apply(p, x).sum())(params, x)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-4)
