@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from percivaltts_tpu.ops.lstm_pallas import bilstm_pallas
+from percivaltts_tpu.ops.lstm_pallas import bigru_pallas, bilstm_pallas
 
 
 def _dtype(name: str):
@@ -74,23 +74,39 @@ class _LSTMDirParams(nn.Module):
         )
 
 
-class _DualGRUStep(nn.Module):
-    """One time step of both GRU directions; scanned over time by BiLSTM."""
+_GRU_GATES = "rzn"
+
+
+class _GRUDirParams(nn.Module):
+    """Per-direction GRU parameters, flax-``GRUCell``-compatible shapes and
+    inits. flax puts biases on the input projections and on the recurrent
+    n branch only. Returned concatenated in gate order r, z, n."""
 
     features: int
-    compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, carry, xs):
-        xf, xb = xs  # (B, D) forward input, backward (time-reversed) input
-        hf, hb = carry
-        dt, pdt = _dtype(self.compute_dtype), _dtype(self.param_dtype)
-        cell_f = nn.GRUCell(self.features, dtype=dt, param_dtype=pdt, name="fwd")
-        cell_b = nn.GRUCell(self.features, dtype=dt, param_dtype=pdt, name="bwd")
-        hf, yf = cell_f(hf, xf)
-        hb, yb = cell_b(hb, xb)
-        return (hf, hb), (yf, yb)
+    def __call__(self, in_dim: int):
+        H, pdt = self.features, _dtype(self.param_dtype)
+        wi = [
+            self.param(f"i{c}", nn.initializers.lecun_normal(), (in_dim, H), pdt)
+            for c in _GRU_GATES
+        ]
+        wh = [
+            self.param(f"h{c}", nn.initializers.orthogonal(), (H, H), pdt)
+            for c in _GRU_GATES
+        ]
+        b = [
+            self.param(f"b{c}", nn.initializers.zeros_init(), (H,), pdt)
+            for c in _GRU_GATES
+        ]
+        bn = self.param("bhn", nn.initializers.zeros_init(), (H,), pdt)
+        return (
+            jnp.concatenate(wi, axis=-1),
+            jnp.concatenate(wh, axis=-1),
+            jnp.concatenate(b, axis=-1),
+            bn,
+        )
 
 
 class BiLSTM(nn.Module):
@@ -110,26 +126,34 @@ class BiLSTM(nn.Module):
     use_pallas: Optional[bool] = None
     pallas_interpret: bool = False
 
+    def _pick_pallas(self) -> bool:
+        if self.use_pallas is not None:
+            return self.use_pallas
+        return jax.default_backend() == "tpu"
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, T, D = x.shape
         dt = _dtype(self.compute_dtype)
+        H = self.features
 
         if self.cell_type == "gru":
-            return self._gru_scan(x, dt)
+            wi_f, wh_f, b_f, bn_f = _GRUDirParams(H, self.param_dtype, name="fwd")(D)
+            wi_b, wh_b, b_b, bn_b = _GRUDirParams(H, self.param_dtype, name="bwd")(D)
+            x = x.astype(dt)
+            ws = [a.astype(dt) for a in
+                  (wi_f, wh_f, b_f, bn_f, wi_b, wh_b, b_b, bn_b)]
+            if self._pick_pallas():
+                return bigru_pallas(x, *ws, interpret=self.pallas_interpret)
+            return self._gru_scan(x, *ws)
 
-        H = self.features
         wi_f, wh_f, b_f = _LSTMDirParams(H, self.param_dtype, name="fwd")(D)
         wi_b, wh_b, b_b = _LSTMDirParams(H, self.param_dtype, name="bwd")(D)
         x = x.astype(dt)
         wi_f, wh_f, b_f, wi_b, wh_b, b_b = (
             a.astype(dt) for a in (wi_f, wh_f, b_f, wi_b, wh_b, b_b)
         )
-
-        use_pallas = self.use_pallas
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
-        if use_pallas:
+        if self._pick_pallas():
             return bilstm_pallas(
                 x, wi_f, wh_f, b_f, wi_b, wh_b, b_b,
                 interpret=self.pallas_interpret,
@@ -173,24 +197,32 @@ class BiLSTM(nn.Module):
         yb = yb.swapaxes(0, 1)[:, ::-1]
         return jnp.concatenate([yf, yb], axis=-1)
 
-    def _gru_scan(self, x, dt):
+    def _gru_scan(self, x, wi_f, wh_f, b_f, bn_f, wi_b, wh_b, b_b, bn_b):
+        """Fused-scan fallback with identical math to the GRU Pallas kernel
+        (flax ``GRUCell`` formulation, gate order r, z, n)."""
         B, T, _ = x.shape
-        x = x.astype(dt)
-        xr = x[:, ::-1]
-        scan = nn.scan(
-            _DualGRUStep,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=1,
-            out_axes=1,
-            unroll=min(self.unroll, T),
+        H = self.features
+        gx_f = (x @ wi_f + b_f).swapaxes(0, 1)  # (T, B, 3H)
+        gx_b = (x[:, ::-1] @ wi_b + b_b).swapaxes(0, 1)
+
+        def cell(h, g, wh, bn):
+            gh = h @ wh
+            r = jax.nn.sigmoid(g[:, :H] + gh[:, :H])
+            z = jax.nn.sigmoid(g[:, H : 2 * H] + gh[:, H : 2 * H])
+            n = jnp.tanh(g[:, 2 * H :] + r * (gh[:, 2 * H :] + bn))
+            return (1.0 - z) * n + z * h
+
+        def body(carry, gs):
+            hf, hb = carry
+            gf, gb = gs
+            hf = cell(hf, gf, wh_f, bn_f)
+            hb = cell(hb, gb, wh_b, bn_b)
+            return (hf, hb), (hf, hb)
+
+        z0 = jnp.zeros((B, H), x.dtype)
+        _, (yf, yb) = jax.lax.scan(
+            body, (z0, z0), (gx_f, gx_b), unroll=min(self.unroll, T)
         )
-        step = scan(
-            features=self.features,
-            compute_dtype=self.compute_dtype,
-            param_dtype=self.param_dtype,
-            name="cell",
-        )
-        zeros = jnp.zeros((B, self.features), dt)
-        _, (yf, yb) = step((zeros, zeros), (x, xr))
-        return jnp.concatenate([yf, yb[:, ::-1]], axis=-1)
+        yf = yf.swapaxes(0, 1)
+        yb = yb.swapaxes(0, 1)[:, ::-1]
+        return jnp.concatenate([yf, yb], axis=-1)

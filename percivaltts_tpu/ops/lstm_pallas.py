@@ -1,6 +1,6 @@
-"""Fused bidirectional-LSTM Pallas kernel for TPU.
+"""Fused bidirectional LSTM / GRU Pallas kernels for TPU.
 
-Reference parity: the BLSTM layers of percivaltts's recurrent generators
+Reference parity: the BLSTM/BGRU layers of percivaltts's recurrent generators
 (``percivaltts/models_basic.py``; SURVEY.md §2 "Generator: basic" — file-level
 cite, mount empty). Numerics match ``models/rnn.py``'s XLA-scan BiLSTM (same
 gate math as flax ``OptimizedLSTMCell``), which remains the oracle.
@@ -374,4 +374,251 @@ def bilstm_pallas(
     gx_f = (x @ wi_f + b_f).swapaxes(0, 1)  # (T, B, 4H)
     gx_b = (x @ wi_b + b_b).swapaxes(0, 1)
     yf, yb = bilstm_core(gx_f, gx_b, wh_f, wh_b, interpret)
+    return jnp.concatenate([yf, yb], axis=-1).swapaxes(0, 1)
+
+
+# --------------------------------------------------------------------------- #
+# GRU: forward
+# --------------------------------------------------------------------------- #
+#
+# flax ``GRUCell`` math, gate order r, z, n:
+#   r  = σ(gx_r + h·Whr)           gx = x·Wi + b_i   (hoisted, (T, B, 3H))
+#   z  = σ(gx_z + h·Whz)
+#   n  = tanh(gx_n + r ⊙ (h·Whn + b_hn))
+#   h' = (1 − z) ⊙ n + z ⊙ h
+# No cell state, so the only residual besides gx is y itself.
+
+
+def _gru_gates(gh, gx, bn, H):
+    r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
+    z = jax.nn.sigmoid(gx[:, H : 2 * H] + gh[:, H : 2 * H])
+    ghn = gh[:, 2 * H :] + bn
+    n = jnp.tanh(gx[:, 2 * H :] + r * ghn)
+    return r, z, n, ghn
+
+
+def _gru_fwd_kernel(gxf_ref, gxb_ref, whf_ref, whb_ref, bnf_ref, bnb_ref,
+                    yf_ref, yb_ref, hf, hb):
+    K = gxf_ref.shape[0]
+    H = whf_ref.shape[0]
+    dt = gxf_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        hf[:] = jnp.zeros_like(hf)
+        hb[:] = jnp.zeros_like(hb)
+
+    whf = whf_ref[:]
+    whb = whb_ref[:]
+    bnf = bnf_ref[:].astype(jnp.float32)  # (1, H), broadcasts over batch
+    bnb = bnb_ref[:].astype(jnp.float32)
+    for k in range(K):
+        gh = _dot(hf[:].astype(dt), whf)
+        r, z, n, _ = _gru_gates(gh, gxf_ref[k].astype(jnp.float32), bnf, H)
+        hf[:] = (1.0 - z) * n + z * hf[:]
+        yf_ref[k] = hf[:].astype(dt)
+
+        kb = K - 1 - k
+        gh = _dot(hb[:].astype(dt), whb)
+        r, z, n, _ = _gru_gates(gh, gxb_ref[kb].astype(jnp.float32), bnb, H)
+        hb[:] = (1.0 - z) * n + z * hb[:]
+        yb_ref[kb] = hb[:].astype(dt)
+
+
+def _bigru_fwd_pallas(gx_f, gx_b, wh_f, wh_b, bn_f, bn_b, interpret=False):
+    T, B, H3 = gx_f.shape
+    H = H3 // 3
+    dt = gx_f.dtype
+    K = _pick_block(T, B, H, gx_f.dtype.itemsize, 8)  # in 2×3H, out 2×H
+    G = T // K
+
+    blk = lambda i: (i, 0, 0)
+    rblk = lambda i: (G - 1 - i, 0, 0)
+    w0 = lambda i: (0, 0)
+    return pl.pallas_call(
+        _gru_fwd_kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((K, B, H3), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, H3), rblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), w0, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((K, B, H), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, H), rblk, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), dt),
+            jax.ShapeDtypeStruct((T, B, H), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gx_f, gx_b, wh_f, wh_b, bn_f[None, :], bn_b[None, :])
+
+
+# --------------------------------------------------------------------------- #
+# GRU: backward (BPTT)
+# --------------------------------------------------------------------------- #
+
+
+def _gru_bwd_kernel(gxf_ref, gxb_ref, whf_ref, whb_ref, bnf_ref, bnb_ref,
+                    whtf_ref, whtb_ref,
+                    hpf_ref, hpb_ref, dyf_ref, dyb_ref,
+                    dgxf_ref, dgxb_ref, dnrf_ref, dnrb_ref,
+                    dhf, dhb):
+    """Streams out d(gx) (for the input-projection grads) and dnr = dn_pre·r
+    (the recurrent n-branch grad, whose weight gradient differs from the
+    input branch's); dWh/db reduce to XLA GEMMs outside."""
+    K = gxf_ref.shape[0]
+    H = whf_ref.shape[0]
+    dt = gxf_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dhf[:] = jnp.zeros_like(dhf)
+        dhb[:] = jnp.zeros_like(dhb)
+
+    whf, whb = whf_ref[:], whb_ref[:]
+    whtf, whtb = whtf_ref[:], whtb_ref[:]
+    bnf = bnf_ref[:].astype(jnp.float32)  # (1, H), broadcasts over batch
+    bnb = bnb_ref[:].astype(jnp.float32)
+
+    def bptt(gx_k, hp_k, dy_k, wh, wht, bn, dh_sc, dgx_ref, dnr_ref, kk):
+        hprev = hp_k.astype(jnp.float32)
+        gh = _dot(hp_k, wh)
+        r, z, n, ghn = _gru_gates(gh, gx_k.astype(jnp.float32), bn, H)
+        dh = dy_k.astype(jnp.float32) + dh_sc[:]
+        dz = dh * (hprev - n)
+        dn_pre = dh * (1.0 - z) * (1.0 - n * n)
+        dr_pre = dn_pre * ghn * r * (1.0 - r)
+        dz_pre = dz * z * (1.0 - z)
+        dnr = dn_pre * r
+        dgx = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1).astype(dt)
+        dgx_ref[kk] = dgx
+        dnr_ref[kk] = dnr.astype(dt)
+        # dh_{t-1}: direct path z⊙h + the three recurrent branches
+        dgh = jnp.concatenate([dr_pre, dz_pre, dnr], axis=-1).astype(dt)
+        dh_sc[:] = dh * z + _dot(dgh, wht)
+
+    for k in range(K):
+        kf = K - 1 - k
+        bptt(gxf_ref[kf], hpf_ref[kf], dyf_ref[kf], whf, whtf, bnf,
+             dhf, dgxf_ref, dnrf_ref, kf)
+        bptt(gxb_ref[k], hpb_ref[k], dyb_ref[k], whb, whtb, bnb,
+             dhb, dgxb_ref, dnrb_ref, k)
+
+
+def _bigru_bwd_pallas(gx_f, gx_b, wh_f, wh_b, bn_f, bn_b,
+                      hp_f, hp_b, dyf, dyb, interpret=False):
+    T, B, H3 = gx_f.shape
+    H = H3 // 3
+    dt = gx_f.dtype
+    # in: 2×3H (gx) + 2×H (hp) + 2×H (dy); out: 2×3H + 2×H  → 16H per frame
+    K = _pick_block(T, B, H, gx_f.dtype.itemsize, 16)
+    G = T // K
+
+    blk = lambda i: (G - 1 - i, 0, 0)
+    fblk = lambda i: (i, 0, 0)
+    w0 = lambda i: (0, 0)
+    spec3 = lambda m: pl.BlockSpec((K, B, H3), m, memory_space=pltpu.VMEM)
+    hspec = lambda m: pl.BlockSpec((K, B, H), m, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _gru_bwd_kernel,
+        grid=(G,),
+        in_specs=[
+            spec3(blk),                                      # gx_f
+            spec3(fblk),                                     # gx_b
+            pl.BlockSpec((H, H3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H3, H), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H3, H), w0, memory_space=pltpu.VMEM),
+            hspec(blk),                                      # hprev_f
+            hspec(fblk),                                     # hprev_b
+            hspec(blk),                                      # dyf
+            hspec(fblk),                                     # dyb
+        ],
+        out_specs=(
+            spec3(blk),
+            spec3(fblk),
+            hspec(blk),
+            hspec(fblk),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H3), dt),
+            jax.ShapeDtypeStruct((T, B, H3), dt),
+            jax.ShapeDtypeStruct((T, B, H), dt),
+            jax.ShapeDtypeStruct((T, B, H), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gx_f, gx_b, wh_f, wh_b, bn_f[None, :], bn_b[None, :],
+      wh_f.T, wh_b.T, hp_f, hp_b, dyf, dyb)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def bigru_core(gx_f, gx_b, wh_f, wh_b, bn_f, bn_b, interpret=False):
+    """(T, B, 3H) pre-computed input projections per direction + (H, 3H)
+    recurrent kernels + (H,) recurrent n-branch biases → (yf, yb)."""
+    return _bigru_fwd_pallas(gx_f, gx_b, wh_f, wh_b, bn_f, bn_b, interpret)
+
+
+def _gru_core_fwd(gx_f, gx_b, wh_f, wh_b, bn_f, bn_b, interpret):
+    yf, yb = _bigru_fwd_pallas(gx_f, gx_b, wh_f, wh_b, bn_f, bn_b, interpret)
+    return (yf, yb), (gx_f, gx_b, wh_f, wh_b, bn_f, bn_b, yf, yb)
+
+
+def _gru_core_bwd(interpret, res, grads):
+    gx_f, gx_b, wh_f, wh_b, bn_f, bn_b, yf, yb = res
+    dyf, dyb = grads
+    z = jnp.zeros_like(yf[:1])
+    hp_f = jnp.concatenate([z, yf[:-1]], axis=0)
+    hp_b = jnp.concatenate([yb[1:], z], axis=0)
+    dgx_f, dgx_b, dnr_f, dnr_b = _bigru_bwd_pallas(
+        gx_f, gx_b, wh_f, wh_b, bn_f, bn_b, hp_f, hp_b, dyf, dyb, interpret
+    )
+    H = wh_f.shape[0]
+
+    def dwh(hp, dgx, dnr):
+        d = jnp.concatenate([dgx[..., : 2 * H], dnr], axis=-1)
+        return jnp.einsum("tbh,tbg->hg", hp, d)
+
+    dwh_f = dwh(hp_f, dgx_f, dnr_f).astype(wh_f.dtype)
+    dwh_b = dwh(hp_b, dgx_b, dnr_b).astype(wh_b.dtype)
+    dbn_f = jnp.sum(dnr_f.astype(jnp.float32), axis=(0, 1)).astype(bn_f.dtype)
+    dbn_b = jnp.sum(dnr_b.astype(jnp.float32), axis=(0, 1)).astype(bn_b.dtype)
+    return dgx_f, dgx_b, dwh_f, dwh_b, dbn_f, dbn_b
+
+
+bigru_core.defvjp(_gru_core_fwd, _gru_core_bwd)
+
+
+def bigru_pallas(
+    x: jax.Array,
+    wi_f: jax.Array,
+    wh_f: jax.Array,
+    b_f: jax.Array,
+    bn_f: jax.Array,
+    wi_b: jax.Array,
+    wh_b: jax.Array,
+    b_b: jax.Array,
+    bn_b: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, T, D) → (B, T, 2H) fused bidirectional GRU (flax ``GRUCell``
+    math). ``b`` is the input-projection bias (r, z, n concatenated);
+    ``bn`` the recurrent n-branch bias."""
+    gx_f = (x @ wi_f + b_f).swapaxes(0, 1)  # (T, B, 3H)
+    gx_b = (x @ wi_b + b_b).swapaxes(0, 1)
+    yf, yb = bigru_core(gx_f, gx_b, wh_f, wh_b, bn_f, bn_b, interpret)
     return jnp.concatenate([yf, yb], axis=-1).swapaxes(0, 1)

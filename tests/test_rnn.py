@@ -132,3 +132,53 @@ def test_bilstm_pallas_under_sharded_batch_jit():
     g_ref = jax.grad(lambda p, x: pal.apply(p, x).sum())(params, x)
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-4)
+
+
+def _flax_gru_params(p):
+    d = {}
+    for c in "rzn":
+        d[f"i{c}" if c != "n" else "in"] = {"kernel": p[f"i{c}"], "bias": p[f"b{c}"]}
+    d["hr"] = {"kernel": p["hr"]}
+    d["hz"] = {"kernel": p["hz"]}
+    d["hn"] = {"kernel": p["hn"], "bias": p["bhn"]}
+    return d
+
+
+def test_bgru_matches_flax_rnn_oracle():
+    """The fused BGRU (scan fallback) must equal two flax nn.RNN(GRUCell)
+    passes built from the same per-gate parameters."""
+    B, T, D, H = 2, 12, 5, 4
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    bi = BiLSTM(H, cell_type="gru", compute_dtype="float32", use_pallas=False)
+    params = bi.init(jax.random.key(2), x)
+    out = bi.apply(params, x)
+
+    pp = params["params"]
+    fwd = nn.RNN(nn.GRUCell(H))
+    bwd = nn.RNN(nn.GRUCell(H), reverse=True, keep_order=True)
+    yf = fwd.apply({"params": {"cell": _flax_gru_params(pp["fwd"])}}, x)
+    yb = bwd.apply({"params": {"cell": _flax_gru_params(pp["bwd"])}}, x)
+    oracle = jnp.concatenate([yf, yb], axis=-1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle), atol=2e-5)
+
+
+def test_bgru_pallas_matches_scan():
+    B, T, D, H = 2, 16, 5, 4
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    scan_m = BiLSTM(H, cell_type="gru", compute_dtype="float32", use_pallas=False)
+    pal_m = BiLSTM(H, cell_type="gru", compute_dtype="float32",
+                   use_pallas=True, pallas_interpret=True)
+    params = scan_m.init(jax.random.key(0), x)
+    y_scan = scan_m.apply(params, x)
+    y_pal = pal_m.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_scan), atol=1e-5)
+
+    def loss(m):
+        return lambda p, x: jnp.sum(jnp.sin(m.apply(p, x)))
+
+    g_scan = jax.grad(loss(scan_m), argnums=(0, 1))(params, x)
+    g_pal = jax.grad(loss(pal_m), argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(g_pal), jax.tree.leaves(g_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
