@@ -182,3 +182,18 @@ def test_bgru_pallas_matches_scan():
     g_pal = jax.grad(loss(pal_m), argnums=(0, 1))(params, x)
     for a, b in zip(jax.tree.leaves(g_pal), jax.tree.leaves(g_scan)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_bilstm_pallas_odd_length():
+    """T not divisible by any block size exercises the K=1 grid path."""
+    B, T, D, H = 2, 15, 5, 4
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    scan_m = BiLSTM(H, compute_dtype="float32", use_pallas=False)
+    pal_m = BiLSTM(H, compute_dtype="float32", use_pallas=True, pallas_interpret=True)
+    params = scan_m.init(jax.random.key(0), x)
+    np.testing.assert_allclose(
+        np.asarray(pal_m.apply(params, x)),
+        np.asarray(scan_m.apply(params, x)),
+        atol=1e-5,
+    )
