@@ -27,14 +27,12 @@ import numpy as np
 from percivaltts_tpu.config import Configuration
 from percivaltts_tpu.data.dataset import Dataset
 from percivaltts_tpu.data.normalize import NormStats
-from percivaltts_tpu.eval.measures import log_spec_to_cepstra
+from percivaltts_tpu.eval.measures import log_spec_to_cepstra, per_frame_mcd_np
 from percivaltts_tpu.models.base import predict_batch
 from percivaltts_tpu.training.state import GANState
 from percivaltts_tpu.utils.fileio import save_binary_file
 from percivaltts_tpu.utils.logging import print_log
 from percivaltts_tpu.vocoders import get_vocoder
-
-_MCD_K = 10.0 / np.log(10.0) * np.sqrt(2.0)
 
 
 def generate(
@@ -75,8 +73,7 @@ def generate(
 
     mcds, f0rs, vuvs = [], [], []
     for i, n in enumerate(ns):
-        d = ceps[2 * i, :n, 1:] - ceps[2 * i + 1, :n, 1:]
-        mcds.append(float(np.mean(_MCD_K * np.sqrt(np.sum(d * d, axis=-1)))))
+        mcds.append(float(np.mean(per_frame_mcd_np(ceps[2 * i, :n], ceps[2 * i + 1, :n]))))
         try:
             f0p, vp = voc.f0_vuv(preds[i][: ns[i]])
             f0r, vr = voc.f0_vuv(refs[i][: ns[i]])

@@ -40,6 +40,18 @@ def log_spec_to_cepstra(logspec: jax.Array, order: Optional[int] = None) -> jax.
     return jnp.matmul(logspec, basis * scale[None, :])
 
 
+def per_frame_mcd_np(
+    cep1: np.ndarray, cep2: np.ndarray, exclude_c0: bool = True
+) -> np.ndarray:
+    """Per-frame MCD in dB, pure numpy — for host-side per-utterance
+    aggregation (eval loops, diagnostics) where one jnp dispatch per
+    utterance would dominate. Same formula as ``mcd``."""
+    d = np.asarray(cep1) - np.asarray(cep2)
+    if exclude_c0:
+        d = d[..., 1:]
+    return float(_MCD_K) * np.sqrt(np.sum(d * d, axis=-1))
+
+
 def mcd(
     cep1: jax.Array,
     cep2: jax.Array,

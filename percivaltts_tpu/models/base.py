@@ -57,26 +57,31 @@ def predict_batch(
     time_multiple: int = TIME_MULTIPLE,
     chunk: int = 8,
 ) -> list:
-    """Predict a list of utterances in fixed-size stacked chunks.
+    """Predict a list of utterances in stacked chunks — the generation-stage
+    equivalent of ``Vocoder.analyze_batch`` (the reference predicts one
+    utterance per model call, SURVEY.md §3.4).
 
-    All utterances of a chunk pad to the chunk's max length (rounded to
-    ``time_multiple``); short final chunks repeat their last utterance so
-    every dispatch has the same leading dimension. One device call per
-    chunk instead of one per utterance — the generation-stage equivalent
-    of ``Vocoder.analyze_batch`` (reference predicts per utterance,
-    SURVEY.md §3.4)."""
+    Utterances are grouped by their OWN padded length (next multiple of
+    ``time_multiple``) and chunks stay within a group, so every utterance
+    sees exactly the padding ``predict_utterance`` would give it — a
+    recurrent generator's backward pass over the zero tail is identical,
+    and the output never depends on which neighbors share the chunk.
+    Short chunks repeat their last row so each distinct padded length
+    compiles exactly one (chunk, padded, dim) variant."""
     labs = list(labs)
-    out: list = []
-    for c0 in range(0, len(labs), chunk):
-        batch = labs[c0 : c0 + chunk]
-        ns = [b.shape[0] for b in batch]
-        real = len(batch)
-        while len(batch) < chunk and batch:
-            batch.append(batch[-1])
-        padded = -(-max(ns) // time_multiple) * time_multiple
-        x = np.zeros((len(batch), padded, batch[0].shape[1]), np.float32)
-        for j, b in enumerate(batch):
-            x[j, : b.shape[0]] = b
-        y = np.asarray(_apply_padded(apply_fn, params, jnp.asarray(x)))
-        out.extend(y[j, : ns[j]] for j in range(real))
+    out: list = [None] * len(labs)
+    groups: dict = {}
+    for i, lab in enumerate(labs):
+        padded = -(-lab.shape[0] // time_multiple) * time_multiple
+        groups.setdefault(padded, []).append(i)
+    for padded, idxs in groups.items():
+        for c0 in range(0, len(idxs), chunk):
+            sel = idxs[c0 : c0 + chunk]
+            rows = sel + [sel[-1]] * (chunk - len(sel))
+            x = np.zeros((chunk, padded, labs[sel[0]].shape[1]), np.float32)
+            for j, i in enumerate(rows):
+                x[j, : labs[i].shape[0]] = labs[i]
+            y = np.asarray(_apply_padded(apply_fn, params, jnp.asarray(x)))
+            for j, i in enumerate(sel):
+                out[i] = y[j, : labs[i].shape[0]]
     return out

@@ -35,16 +35,7 @@ from percivaltts_tpu.ops.warp import _band_centers_hz
 NM_RHO = 0.375
 
 
-def lerp_cols(M: jax.Array, pos: jax.Array) -> jax.Array:
-    """Batched linear interpolation along the last axis: M (nf, n) at
-    fractional positions pos (nf, m) → (nf, m)."""
-    n = M.shape[-1]
-    p = jnp.clip(pos, 0.0, n - 1.000001)
-    i0 = jnp.floor(p).astype(jnp.int32)
-    fr = p - i0.astype(M.dtype)
-    lo = jnp.take_along_axis(M, i0, axis=-1)
-    hi = jnp.take_along_axis(M, i0 + 1, axis=-1)
-    return lo * (1.0 - fr) + hi * fr
+from percivaltts_tpu.ops.cheaptrick import lerp_gather as lerp_cols  # one impl
 
 
 def erode5(x: jax.Array) -> jax.Array:

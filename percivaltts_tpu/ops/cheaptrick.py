@@ -58,7 +58,7 @@ DEFAULT_UNVOICED_F0 = 500.0
 _EDGE_PAD = 48
 
 
-def _lerp_gather(values: jax.Array, pos: jax.Array) -> jax.Array:
+def lerp_gather(values: jax.Array, pos: jax.Array) -> jax.Array:
     """Batched linear interpolation: values (nf, n), pos (nf, m) fractional
     indices (clamped) → (nf, m)."""
     n = values.shape[-1]
@@ -121,10 +121,14 @@ def cheaptrick_envelope(
     caller decides voicing; this function only needs a positive f0 per
     frame). frames = ceil(n / hop), centered at i·hop.
 
-    ``mirror_mask`` (frames,) ∈ {0, 1} gates the sub-f0 DC mirroring per
-    frame: harmonic frames have no physical energy below f0 and need the
-    fill; noise frames have real sub-f0 content that mirroring would
-    double-count. None = mirror everywhere.
+    ``mirror_mask`` (frames,) ∈ {0, 1} is the voicing decision and gates the
+    TIME smoothing: only neighbors with the same voicing state contribute
+    (see ``_time_smooth``). It does NOT gate the sub-f0 fill — that is
+    deficit-gated on the measured signal itself for every frame (harmonic
+    frames show a sub-f0 deficit and get the mirror; noise frames have real
+    sub-f0 content and don't), which survives copy-synthesis where a
+    voicing-keyed gate would corrupt every flipped frame. None = ungated
+    time smoothing.
     """
     bins = dftlen // 2 + 1
     Lmax = int(math.ceil(3.0 * fs / f0_floor))
@@ -168,10 +172,10 @@ def cheaptrick_envelope(
         lo = jnp.clip(jnp.arange(bins) + j, 0, bins - 1)
         taps = taps + P[:, lo]
     Ps5 = taps / 5.0  # lightly pre-smoothed P for the gate measurement
-    p_half = _lerp_gather(Ps5, 0.5 * f0_bins[:, None])  # (nf, 1)
-    p_f0 = _lerp_gather(Ps5, f0_bins[:, None])
+    p_half = lerp_gather(Ps5, 0.5 * f0_bins[:, None])  # (nf, 1)
+    p_f0 = lerp_gather(Ps5, f0_bins[:, None])
     w_fill = jnp.clip(1.0 - p_half / jnp.maximum(p_f0, 1e-20), 0.0, 1.0)
-    P = jnp.where(below, P + w_fill * _lerp_gather(P, mirror_pos), P)
+    P = jnp.where(below, P + w_fill * lerp_gather(P, mirror_pos), P)
 
     # --- 3. rectangular smoothing, width 2·f0/3 ---------------------------- #
     # Local shifted-taps sum with fractional edge weights — NOT a global
@@ -220,6 +224,6 @@ def cheaptrick_envelope(
     # the held level), while gating it by voicing would make every voicing
     # flip corrupt the top bands.
     hold_pos = (bins - 1.0) - 2.5 * f0_bins  # per-frame hold start (bins)
-    hold_val = _lerp_gather(env, hold_pos[:, None])  # (nf, 1)
+    hold_val = lerp_gather(env, hold_pos[:, None])  # (nf, 1)
     above = b[None, :] > hold_pos[:, None]
     return jnp.where(above, hold_val, env)

@@ -265,7 +265,8 @@ def _bilstm_bwd_pallas(gx_f, gx_b, wh_f, wh_b, hp_f, hp_b, cp_f, cp_b,
     T, B, H4 = gx_f.shape
     H = H4 // 4
     dt = gx_f.dtype
-    K = _pick_block(T, B, H, gx_f.dtype.itemsize, 22)
+    # in: gx 2×4H + hp/cp/c/dy 2×4×H; out: dgx 2×4H → 24 H-units per frame
+    K = _pick_block(T, B, H, gx_f.dtype.itemsize, 24)
     G = T // K
 
     blk = lambda i: (G - 1 - i, 0, 0)   # fwd-direction BPTT: reversed

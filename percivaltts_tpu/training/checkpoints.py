@@ -35,8 +35,12 @@ class CheckpointManager:
                 # keep the best checkpoint alive alongside the most recent
                 # ones (the reference generates from its save-on-improvement
                 # weights); "score" is the trainer's configured best metric
-                # (TrainConfig.best_metric — MCD or validation MSE)
-                best_fn=lambda m: m.get("score", m.get("valid", float("inf"))),
+                # (TrainConfig.best_metric — MCD or validation MSE). Saves
+                # without a score (e.g. non-measure epochs when the metric is
+                # MCD with measures_every > 1) rank last — falling back to
+                # another metric here would compare incomparable quantities
+                # (validation MSE ~0.x vs MCD in dB)
+                best_fn=lambda m: m.get("score", float("inf")),
                 best_mode="min",
                 keep_checkpoints_without_metrics=True,
             ),

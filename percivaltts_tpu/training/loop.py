@@ -238,8 +238,10 @@ class Trainer:
 
         self.best_valid = float("inf")
         self.best_epoch = -1
-        # profile the first post-compile epoch (epoch 0 compiles the step)
-        self._profile_epoch = 1 if cfg.train.epochs > 1 else 0
+        # the epoch to profile; set per train() call relative to the first
+        # epoch THIS process runs (which pays the compile) — a fixed value
+        # would never fire on resumed runs
+        self._profile_epoch = -1
 
     # ------------------------------------------------------------------ #
 
@@ -441,6 +443,11 @@ class Trainer:
         cfg = self.cfg.train
         epochs = cfg.epochs if epochs is None else epochs
         start_epoch = int(self.state.epoch)
+        # profile the first post-compile epoch of THIS process; with a
+        # single epoch to run, profile it (trace includes the compile)
+        self._profile_epoch = (
+            start_epoch + 1 if epochs - start_epoch > 1 else start_epoch
+        )
         history: Dict[str, list] = {"train": [], "valid": []}
         for epoch in range(start_epoch, epochs):
             tr = self._train_epoch(epoch)

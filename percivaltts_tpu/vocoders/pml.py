@@ -143,9 +143,11 @@ def pml_analyze_core(
         # track (roundtrips at ~0.1%); unvoiced frames use WORLD's 500 Hz
         # convention — the short (~6 ms) window stops loud voiced neighbors
         # leaking into quiet boundary frames (measured: unvoiced-frame MCD
-        # 6.9→6.5 dB mean / p90 13.2→11.1, all-frame 9.56→9.48; flipped-
-        # frame damage unchanged at ~33 dB since a flip already corrupts
-        # the voicing-gated sub-f0 mirror and the noise floor either way)
+        # 6.9→6.5 dB mean / p90 13.2→11.1; flipped-frame damage unchanged
+        # at ~33 dB since a flip already switches the frame's envelope
+        # convention and voicing-partitioned time smoothing either way).
+        # Synthesis inverts the same convention per frame (see
+        # pml_synthesize_amp_core's sigma).
         f0_env = jnp.where(vuv > 0.5, f0, DEFAULT_UNVOICED_F0)
         env = cheaptrick_envelope(
             wav,
@@ -409,13 +411,18 @@ def pml_synthesize_amp_core(
 
     # ---- stochastic part -------------------------------------------------- #
     # per-band noise std from the envelope amplitude under the analyzer's
-    # convention (see ops.cheaptrick module docstring); the analyzer keys on
-    # the continuous f0 track, which is exactly this lf0 stream
+    # convention (see ops.cheaptrick module docstring): voiced frames key on
+    # the continuous f0 track (this lf0 stream); unvoiced frames on WORLD's
+    # 500 Hz convention, exactly mirroring the analysis-side window choice —
+    # inverting with the continuous f0 instead was measured +sqrt(500/f0)
+    # (~+2..6 dB) too loud on unvoiced frames, invisible to the MCD gate
+    # because a per-frame gain lands in the excluded c0
+    f0_a = jnp.where(voiced_f > 0.5, f0, DEFAULT_UNVOICED_F0)
     sigma = (
         A
         * jnp.sqrt(nm_bins)
         * NOISE_CAL
-        / jnp.sqrt(f0 * CAL * dftlen / fs)[:, None]
+        / jnp.sqrt(f0_a * CAL * dftlen / fs)[:, None]
     )  # (nf, bins)
     key = jax.random.key(seed)
     noise = jax.random.normal(key, (n,), jnp.float32)

@@ -70,9 +70,15 @@ def world_analyze_core(
     res = estimate_f0(wav, fs, hop, f0_min, f0_max)
     f0, vuv = res.f0, res.vuv
 
+    # unvoiced frames use WORLD's 500 Hz analysis convention — short (~6 ms)
+    # windows stop loud voiced neighbors leaking into quiet boundary frames
+    # (same rationale and measurements as the PML analyzer, vocoders/pml.py)
+    from percivaltts_tpu.ops.cheaptrick import DEFAULT_UNVOICED_F0
+
+    f0_env = jnp.where(vuv > 0.5, f0, DEFAULT_UNVOICED_F0)
     env = cheaptrick_envelope(
         wav,
-        f0,
+        f0_env,
         fs,
         hop,
         dftlen,

@@ -17,7 +17,7 @@ jax.config.update("jax_platforms", "cpu")
 
 from percivaltts_tpu.config import VocoderConfig
 from percivaltts_tpu.data.demo import generate_demo_corpus
-from percivaltts_tpu.eval.measures import mcd
+from percivaltts_tpu.eval.measures import per_frame_mcd_np
 from percivaltts_tpu.vocoders import get_vocoder
 
 
@@ -38,10 +38,7 @@ def main(n_utts: int = 12, seed: int = 1234):
         y = voc.synthesize(feats)
         feats2 = voc.analyze(y)
         n = min(len(feats), len(feats2))
-        ca = voc.cepstra(feats[:n])
-        cb = voc.cepstra(feats2[:n])
-        d = ca[:, 1:] - cb[:, 1:]
-        pf = 10.0 / np.log(10.0) * np.sqrt(2.0 * np.sum(d * d, axis=-1))
+        pf = per_frame_mcd_np(voc.cepstra(feats[:n]), voc.cepstra(feats2[:n]))
         per_frame_all.append(pf)
         f0a, va = voc.f0_vuv(feats[:n])
         f0b, vb = voc.f0_vuv(feats2[:n])

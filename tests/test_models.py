@@ -117,19 +117,25 @@ def test_critic_gradient_flows():
 
 
 def test_predict_batch_matches_per_utterance():
+    """Exact equality with predict_utterance — including for RECURRENT
+    generators, whose backward pass runs over the zero pad tail: grouping
+    by each utterance's own padded length makes the tail identical and the
+    output independent of chunk composition."""
     from percivaltts_tpu.config import ModelConfig, VocoderConfig
     from percivaltts_tpu.models.base import predict_batch
 
-    cfg = ModelConfig(generator="fc", hidden_size=16, num_layers=1,
-                      compute_dtype="float32")
     voc = VocoderConfig(spec_size=9, nm_size=5)
-    gen = build_generator(cfg, voc, 7)
     rng = np.random.default_rng(0)
     labs = [rng.normal(size=(n, 7)).astype(np.float32) for n in (50, 130, 64, 200, 31)]
-    params = gen.init(jax.random.key(0), jnp.asarray(labs[0][None]))
-    singles = [predict_utterance(gen.apply, params, l) for l in labs]
-    batched = predict_batch(gen.apply, params, labs, chunk=2)
-    assert len(batched) == len(singles)
-    for a, b in zip(batched, singles):
-        assert a.shape == b.shape
-        np.testing.assert_allclose(a, b, atol=1e-5)
+    for kind in ("fc", "cnn_blstm"):
+        cfg = ModelConfig(generator=kind, hidden_size=16, num_layers=1,
+                          cnn_channels=4, cnn_blocks=1, blstm_size=8,
+                          compute_dtype="float32")
+        gen = build_generator(cfg, voc, 7)
+        params = gen.init(jax.random.key(0), jnp.asarray(labs[0][None]))
+        singles = [predict_utterance(gen.apply, params, l) for l in labs]
+        batched = predict_batch(gen.apply, params, labs, chunk=2)
+        assert len(batched) == len(singles)
+        for a, b in zip(batched, singles):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, atol=1e-5, err_msg=kind)

@@ -181,6 +181,41 @@ def test_objective_measure_validation_and_best_metric(tmp_path):
     assert tr.ckpt.best_step() == best_epoch
 
 
+def test_best_checkpoint_ignores_scoreless_epochs(tmp_path):
+    """With best_metric='mcd' and measures_every > 1, checkpoints saved on
+    non-measure epochs carry no score and must never win best-step —
+    falling back to validation MSE would compare incomparable metrics."""
+    import json
+
+    from percivaltts_tpu.data.normalize import NormStats
+
+    cfg = _cfg(
+        workdir=str(tmp_path),
+        measures_every=2,
+        best_metric="mcd",
+        epochs=4,
+        checkpoint_every=1,
+    )
+    ds = _toy_ds()
+    stats = NormStats(
+        shift=np.zeros(VOC.feature_size, np.float32),
+        scale=np.ones(VOC.feature_size, np.float32),
+    )
+    tr = Trainer(cfg, ds, ds, measures_stats=stats)
+    tr.train()
+    tr.close()
+    records = [
+        json.loads(l) for l in open(os.path.join(str(tmp_path), "metrics.jsonl"))
+    ]
+    objs = [r for r in records if r.get("kind") == "objective"]
+    measure_epochs = {r["epoch"] for r in objs}
+    assert measure_epochs == {1, 3}
+    # best step must be a measure epoch (1 or 3), chosen by MCD
+    best = tr.ckpt.best_step()
+    assert best in measure_epochs, best
+    assert best == min(objs, key=lambda r: r["mcd_db"])["epoch"]
+
+
 def test_best_metric_mcd_requires_measures():
     cfg = _cfg(best_metric="mcd")
     with pytest.raises(ValueError):

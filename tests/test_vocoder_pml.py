@@ -131,9 +131,11 @@ def test_copy_synthesis_mcd_demo_corpus(voc, tmp_path):
         d = ca[:, 1:] - cb[:, 1:]
         pfs.append(10.0 / np.log(10.0) * np.sqrt(2.0 * np.sum(d * d, axis=-1)))
     pf = np.concatenate(pfs)
-    # measured 9.5 mean / 6.2 median on the 12-utt diagnostic corpus
-    # (round 2, unvoiced 500 Hz analysis convention); regression margin ~15%
-    assert pf.mean() < 11.0, pf.mean()
+    # measured 11.2 mean / 6.2 median on this 4-utt corpus at 65/33 bands
+    # (round 2: unvoiced 500 Hz convention on BOTH sides — the corrected
+    # noise-level inversion costs ~+0.2 dB on this gate, see BASELINE.md);
+    # regression margin ~15%
+    assert pf.mean() < 13.0, pf.mean()
     assert np.median(pf) < 7.5, np.median(pf)
 
 
