@@ -20,7 +20,7 @@ TPU-first design notes:
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -70,6 +70,7 @@ class BLSTMGenerator(nn.Module):
     cell_type: str = "lstm"
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    shard_mesh: Any = None
 
     @nn.compact
     def __call__(self, lab: jax.Array, train: bool = False) -> jax.Array:
@@ -84,6 +85,7 @@ class BLSTMGenerator(nn.Module):
                 compute_dtype=self.compute_dtype,
                 param_dtype=self.param_dtype,
                 cell_type=self.cell_type,
+                shard_mesh=self.shard_mesh,
                 name=f"blstm_{i}",
             )(x)
         x = nn.Dense(self.feat_dim, dtype=dt, param_dtype=pdt, name="out")(x)
@@ -124,6 +126,7 @@ class CNNGenerator(nn.Module):
     blstm_size: int = 128
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    shard_mesh: Any = None
 
     @nn.compact
     def __call__(self, lab: jax.Array, train: bool = False) -> jax.Array:
@@ -143,6 +146,7 @@ class CNNGenerator(nn.Module):
                     self.blstm_size,
                     compute_dtype=self.compute_dtype,
                     param_dtype=self.param_dtype,
+                    shard_mesh=self.shard_mesh,
                     name="f0_blstm",
                 )(h)
             f0 = nn.Dense(1, dtype=dt, param_dtype=pdt, name="f0_out")(h)
@@ -199,9 +203,15 @@ class CNNGenerator(nn.Module):
         ).astype(jnp.float32)
 
 
-def build_generator(model_cfg: ModelConfig, vocoder: VocoderConfig, label_dim: int) -> nn.Module:
+def build_generator(
+    model_cfg: ModelConfig,
+    vocoder: VocoderConfig,
+    label_dim: int,
+    mesh=None,
+) -> nn.Module:
     """Factory mapping config → generator module (reference: the model-choice
-    switch in run.py)."""
+    switch in run.py). ``mesh``: partition the recurrent Pallas kernels over
+    its ``data`` axis (multi-chip DP)."""
     kind = model_cfg.generator
     feat_dim = vocoder.feature_size
     common = dict(
@@ -221,6 +231,7 @@ def build_generator(model_cfg: ModelConfig, vocoder: VocoderConfig, label_dim: i
             hidden_size=model_cfg.blstm_size,
             num_layers=model_cfg.blstm_layers,
             cell_type="gru" if kind == "bgru" else "lstm",
+            shard_mesh=mesh,
             **common,
         )
     if kind in ("cnn", "cnn_blstm"):
@@ -233,6 +244,7 @@ def build_generator(model_cfg: ModelConfig, vocoder: VocoderConfig, label_dim: i
             conv_style=model_cfg.conv_style,
             use_blstm_heads=(kind == "cnn_blstm"),
             blstm_size=model_cfg.blstm_size // 2,
+            shard_mesh=mesh,
             **common,
         )
     raise ValueError(f"unknown generator kind: {kind}")

@@ -28,7 +28,7 @@ naming: ``i{c}`` input kernels (no bias), ``h{c}`` recurrent kernels,
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -125,6 +125,9 @@ class BiLSTM(nn.Module):
     cell_type: str = "lstm"
     use_pallas: Optional[bool] = None
     pallas_interpret: bool = False
+    # partition the Pallas kernel over this mesh's "data" axis via shard_map
+    # (multi-chip DP; without it XLA gathers around the custom call)
+    shard_mesh: Any = None
 
     def _pick_pallas(self) -> bool:
         if self.use_pallas is not None:
@@ -144,7 +147,10 @@ class BiLSTM(nn.Module):
             ws = [a.astype(dt) for a in
                   (wi_f, wh_f, b_f, bn_f, wi_b, wh_b, b_b, bn_b)]
             if self._pick_pallas():
-                return bigru_pallas(x, *ws, interpret=self.pallas_interpret)
+                return bigru_pallas(
+                    x, *ws, interpret=self.pallas_interpret,
+                    shard_mesh=self.shard_mesh,
+                )
             return self._gru_scan(x, *ws)
 
         wi_f, wh_f, b_f = _LSTMDirParams(H, self.param_dtype, name="fwd")(D)
@@ -157,6 +163,7 @@ class BiLSTM(nn.Module):
             return bilstm_pallas(
                 x, wi_f, wh_f, b_f, wi_b, wh_b, b_b,
                 interpret=self.pallas_interpret,
+                shard_mesh=self.shard_mesh,
             )
         return self._lstm_scan(x, wi_f, wh_f, b_f, wi_b, wh_b, b_b)
 

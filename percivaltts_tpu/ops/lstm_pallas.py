@@ -28,13 +28,14 @@ so the weight/bias/input gradients reduce to big XLA GEMMs outside (the
 in-kernel dh matmul contracts against PRE-TRANSPOSED recurrent kernels; a
 lane-lane or sublane-sublane contraction falls off the MXU).
 
-Sharding: under a data-parallel mesh with the batch sharded over ``data``,
-XLA's SPMD partitioner has no partitioning rule for the custom call, so it
-gathers the kernel's operands and runs the recurrence replicated — correct
-(tested on the 8-device CPU mesh) but not partitioned. Single-chip training
-(the benched configuration) is unaffected; a fully-partitioned multi-chip
-path can either wrap the call in ``shard_map`` over ``data`` or use the
-scan fallback (``use_pallas=False``), whose ops partition natively.
+Sharding: XLA's SPMD partitioner has no partitioning rule for a custom
+call, so under a sharded-batch jit it would gather the kernel's operands
+and run the recurrence replicated (correct but not partitioned). Passing
+``shard_mesh`` wraps the core in ``shard_map`` over the mesh's ``data``
+axis instead — each device runs the kernel on its local batch rows (the
+recurrence is batch-row independent), which is the fully-partitioned
+multi-chip path. The Trainer plumbs its mesh here automatically; B=1
+(init) and non-divisible batches fall back to the gathered call.
 """
 
 from __future__ import annotations
@@ -356,6 +357,35 @@ def _core_bwd(interpret, res, grads):
 bilstm_core.defvjp(_core_fwd, _core_bwd)
 
 
+def _want_shard(mesh, axis, B: int) -> bool:
+    """Shard only when the mesh has a >1 data axis AND the (static) batch
+    divides it — init (B=1) and odd predict batches fall back to the
+    unsharded call, which XLA runs gathered/replicated (still correct)."""
+    if mesh is None:
+        return False
+    size = mesh.shape.get(axis, 1)
+    return size > 1 and B % size == 0
+
+
+def _shard_over_batch(core, n_weights, mesh, axis):
+    """Wrap a (gx_f, gx_b, *weights) → (yf, yb) core in ``shard_map`` over
+    the batch (middle) axis of the time-major gate tensors. The recurrence
+    is independent per batch row, so each device runs the kernel on its
+    local rows — the fully-partitioned multi-chip path (XLA's SPMD
+    partitioner has no rule for the custom call and would otherwise gather
+    it; see module docstring)."""
+    from jax.sharding import PartitionSpec as P
+
+    gspec = P(None, axis, None)
+    return jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(gspec, gspec) + (P(),) * n_weights,
+        out_specs=(gspec, gspec),
+        check_vma=False,
+    )
+
+
 def bilstm_pallas(
     x: jax.Array,
     wi_f: jax.Array,
@@ -365,16 +395,24 @@ def bilstm_pallas(
     wh_b: jax.Array,
     b_b: jax.Array,
     interpret: bool = False,
+    shard_mesh=None,
+    shard_axis: str = "data",
 ) -> jax.Array:
     """(B, T, D) → (B, T, 2H) fused bidirectional LSTM.
 
     The input projections run as two big XLA GEMMs (MXU-efficient, part of
     the surrounding jit so they fuse/overlap); only the sequential recurrence
     runs in the Pallas kernel. Gate order i, f, g, o matches models/rnn.py.
+    ``shard_mesh``: partition the kernel over the batch via shard_map on
+    this mesh's ``shard_axis`` (multi-chip data parallelism; B must divide
+    by the axis size).
     """
     gx_f = (x @ wi_f + b_f).swapaxes(0, 1)  # (T, B, 4H)
     gx_b = (x @ wi_b + b_b).swapaxes(0, 1)
-    yf, yb = bilstm_core(gx_f, gx_b, wh_f, wh_b, interpret)
+    core = lambda gf, gb, wf, wb: bilstm_core(gf, gb, wf, wb, interpret)
+    if _want_shard(shard_mesh, shard_axis, gx_f.shape[1]):
+        core = _shard_over_batch(core, 2, shard_mesh, shard_axis)
+    yf, yb = core(gx_f, gx_b, wh_f, wh_b)
     return jnp.concatenate([yf, yb], axis=-1).swapaxes(0, 1)
 
 
@@ -615,11 +653,16 @@ def bigru_pallas(
     b_b: jax.Array,
     bn_b: jax.Array,
     interpret: bool = False,
+    shard_mesh=None,
+    shard_axis: str = "data",
 ) -> jax.Array:
     """(B, T, D) → (B, T, 2H) fused bidirectional GRU (flax ``GRUCell``
     math). ``b`` is the input-projection bias (r, z, n concatenated);
-    ``bn`` the recurrent n-branch bias."""
+    ``bn`` the recurrent n-branch bias. ``shard_mesh``: as bilstm_pallas."""
     gx_f = (x @ wi_f + b_f).swapaxes(0, 1)  # (T, B, 3H)
     gx_b = (x @ wi_b + b_b).swapaxes(0, 1)
-    yf, yb = bigru_core(gx_f, gx_b, wh_f, wh_b, bn_f, bn_b, interpret)
+    core = lambda gf, gb, wf, wb, nf, nb: bigru_core(gf, gb, wf, wb, nf, nb, interpret)
+    if _want_shard(shard_mesh, shard_axis, gx_f.shape[1]):
+        core = _shard_over_batch(core, 4, shard_mesh, shard_axis)
+    yf, yb = core(gx_f, gx_b, wh_f, wh_b, bn_f, bn_b)
     return jnp.concatenate([yf, yb], axis=-1).swapaxes(0, 1)

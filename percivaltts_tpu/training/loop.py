@@ -159,7 +159,10 @@ class Trainer:
         if cfg.train.debug_nans:
             jax.config.update("jax_debug_nans", True)
 
-        self.state: GANState = make_gan_state(cfg, train_ds.label_dim)
+        # with a mesh, the recurrent Pallas kernels shard_map over its data
+        # axis (fully-partitioned multi-chip DP instead of SPMD gathering
+        # around the custom call)
+        self.state: GANState = make_gan_state(cfg, train_ds.label_dim, mesh=mesh)
         if mesh is not None:
             # process-aware: replicates across all hosts' devices when the
             # mesh is global (multi-host training); plain device_put

@@ -45,16 +45,18 @@ def _adam(lr: float, b1: float, b2: float) -> optax.GradientTransformation:
 
 
 def make_gan_state(
-    cfg: Configuration, label_dim: int, seed: Optional[int] = None
+    cfg: Configuration, label_dim: int, seed: Optional[int] = None, mesh=None
 ) -> GANState:
-    """Build generator (+ critic for the WGAN trainer) and optimizer states."""
+    """Build generator (+ critic for the WGAN trainer) and optimizer states.
+    ``mesh``: partition the recurrent Pallas kernels over its ``data`` axis
+    (multi-chip DP; plumbed to build_generator)."""
     seed = cfg.train.seed if seed is None else seed
     key = jax.random.key(seed)
     kg, kc, krest = jax.random.split(key, 3)
     T = min(cfg.data.bucket_bounds)
     lab = jnp.zeros((1, T, label_dim), jnp.float32)
 
-    gen = build_generator(cfg.model, cfg.vocoder, label_dim)
+    gen = build_generator(cfg.model, cfg.vocoder, label_dim, mesh=mesh)
     gen_params = gen.init(kg, lab)
     gen_ts = TrainState.create(
         apply_fn=gen.apply,

@@ -197,3 +197,32 @@ def test_bilstm_pallas_odd_length():
         np.asarray(scan_m.apply(params, x)),
         atol=1e-5,
     )
+
+
+def test_bilstm_pallas_shard_map_partitioned():
+    """With shard_mesh set, the kernel runs under shard_map partitioned over
+    the data axis (each device computes its local batch rows) and must equal
+    the unsharded path — forward and gradients."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8, 1), ("data", "model"))
+    B, T, D, H = 16, 32, 12, 8
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    plain = BiLSTM(H, compute_dtype="float32", use_pallas=True, pallas_interpret=True)
+    sharded = BiLSTM(H, compute_dtype="float32", use_pallas=True,
+                     pallas_interpret=True, shard_mesh=mesh)
+    params = plain.init(jax.random.key(0), x)
+    y0 = plain.apply(params, x)
+    y1 = jax.jit(sharded.apply)(params, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+
+    g0 = jax.grad(lambda p, x: jnp.sum(jnp.sin(plain.apply(p, x))), argnums=(0, 1))(params, x)
+    g1 = jax.jit(jax.grad(lambda p, x: jnp.sum(jnp.sin(sharded.apply(p, x))), argnums=(0, 1)))(params, x)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-4)
+
+    # B=1 (init-style) falls back to the unsharded call rather than failing
+    x1 = x[:1]
+    y = jax.jit(sharded.apply)(params, x1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(plain.apply(params, x1)), atol=1e-5)
