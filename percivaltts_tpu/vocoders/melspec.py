@@ -67,6 +67,15 @@ def mel_synthesize_core(
     return istft(spec, frame_len, hop, n, window)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "hop", "frame_len", "dftlen", "mel_size", "iterations"),
+)
+def _mel_synthesize_vmapped(logmels, **kw):
+    """vmap of the Griffin-Lim core over stacked (B, frames, mels) input."""
+    return jax.vmap(lambda m: mel_synthesize_core(m, **kw))(logmels)
+
+
 @register
 class MelSpecVocoder(Vocoder):
     kind = "melspec"
@@ -105,6 +114,39 @@ class MelSpecVocoder(Vocoder):
             mel_size=c.mel_size,
         )
         return np.asarray(wav[: nf * c.shift_samples])
+
+    def synthesize_batch(self, feats_list, seed: int = 0, chunk: int = 4) -> list:
+        """One vmapped Griffin-Lim reconstruction per chunk of utterances
+        (padded to the chunk's frame bound) — same batching contract as
+        ``PMLVocoder.synthesize_batch``."""
+        c = self.cfg
+        feats_list = [np.asarray(f, np.float32) for f in feats_list]
+        out: list = []
+        for c0 in range(0, len(feats_list), chunk):
+            batch = feats_list[c0 : c0 + chunk]
+            nfs = [f.shape[0] for f in batch]
+            real = len(batch)
+            while len(batch) < chunk:
+                batch.append(batch[-1])
+                nfs.append(nfs[-1])
+            nf_pad = -(-max(nfs) // FRAME_MULTIPLE) * FRAME_MULTIPLE
+            fp = np.full((chunk, nf_pad, c.mel_size), -18.0, np.float32)
+            for j, f in enumerate(batch):
+                fp[j, : f.shape[0]] = f
+            wavs = np.asarray(
+                _mel_synthesize_vmapped(
+                    jnp.asarray(fp),
+                    fs=c.fs,
+                    hop=c.shift_samples,
+                    frame_len=c.frame_samples,
+                    dftlen=c.dftlen,
+                    mel_size=c.mel_size,
+                )
+            )
+            out.extend(
+                wavs[j, : nfs[j] * c.shift_samples] for j in range(real)
+            )
+        return out
 
     def f0_vuv(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         raise NotImplementedError(

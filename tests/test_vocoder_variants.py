@@ -63,3 +63,18 @@ def test_melspec_analysis_and_griffin_lim():
     assert d < 4.5, d  # fast-GL copy-synthesis floor ≈ 3.9 at 5 ms hop
     with pytest.raises(NotImplementedError):
         voc.f0_vuv(feats)
+
+
+def test_melspec_synthesize_batch_matches_single():
+    from percivaltts_tpu.config import VocoderConfig
+    from percivaltts_tpu.vocoders import get_vocoder
+
+    voc = get_vocoder(VocoderConfig(kind="melspec", mel_size=20, fs=16000))
+    rng = np.random.default_rng(3)
+    feats = [rng.normal(-6.0, 1.0, size=(n, 20)).astype(np.float32) for n in (40, 90, 130)]
+    singles = [voc.synthesize(f) for f in feats]
+    batched = voc.synthesize_batch(feats, chunk=2)
+    assert len(batched) == len(singles)
+    for a, b in zip(batched, singles):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-3)
