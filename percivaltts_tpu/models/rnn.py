@@ -132,7 +132,10 @@ class BiLSTM(nn.Module):
     def _pick_pallas(self) -> bool:
         if self.use_pallas is not None:
             return self.use_pallas
-        return jax.default_backend() == "tpu"
+        # auto: TPU backend AND lane-aligned gate width (4H a multiple of
+        # the 128-lane tile) — tiny test/demo models would only pay Mosaic
+        # padding overhead for the kernel launch
+        return jax.default_backend() == "tpu" and (4 * self.features) % 128 == 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
