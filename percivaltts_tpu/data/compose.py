@@ -19,7 +19,11 @@ import numpy as np
 
 from percivaltts_tpu.config import Configuration
 from percivaltts_tpu.data.dataset import Dataset, split_fileids
-from percivaltts_tpu.data.hts_labels import QuestionSet, binarize_label_file
+from percivaltts_tpu.data.hts_labels import (
+    NUM_FRAME_FEATURES,
+    QuestionSet,
+    binarize_label_file,
+)
 from percivaltts_tpu.data.normalize import NormStats, compute_meanstd, compute_minmax
 from percivaltts_tpu.utils.fileio import load_binary_file, save_binary_file
 from percivaltts_tpu.utils.logging import print_log
@@ -122,7 +126,7 @@ def compose(
         with open(meta_path, "w") as f:
             json.dump(meta, f, indent=2, sort_keys=True)
 
-    qdim = questions.dim + 9  # + frame features
+    qdim = questions.dim + NUM_FRAME_FEATURES
     labs: dict = {}
     cmps: dict = {}
     uncached: List[str] = []

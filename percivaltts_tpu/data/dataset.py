@@ -163,10 +163,16 @@ class Dataset:
                 if nreal < batch_size:
                     if drop_remainder:
                         continue
-                    # pad the batch by repeating utterances; the repeated
-                    # rows get zero masks/lengths below so they cannot bias
-                    # masked losses or frame-weighted validation
-                    chunk = chunk + idxs[: batch_size - nreal]
+                    # pad the batch by CYCLING utterances up to batch_size
+                    # (a bucket smaller than the deficit must still fill the
+                    # static batch shape — sharded meshes need divisible row
+                    # counts); the repeated rows get zero masks/lengths below
+                    # so they cannot bias masked losses or frame-weighted
+                    # validation
+                    pad = [
+                        idxs[j % len(idxs)] for j in range(batch_size - nreal)
+                    ]
+                    chunk = chunk + pad
                 pending.append((b, chunk, nreal))
         if shuffle:
             rng.shuffle(pending)  # type: ignore[arg-type]
@@ -202,19 +208,3 @@ class Dataset:
                 "lengths": np.asarray(lengths, np.int32),
             }
 
-    def num_batches(
-        self,
-        batch_size: int,
-        bucket_bounds: Sequence[int] = (256, 512, 768, 1024),
-        drop_remainder: bool = True,
-    ) -> int:
-        bounds = sorted(bucket_bounds)
-        counts: Dict[int, int] = {b: 0 for b in bounds}
-        for l in self.labs:
-            counts[self._bucket_of(l.shape[0], bounds)] += 1
-        total = 0
-        for b, c in counts.items():
-            total += c // batch_size
-            if not drop_remainder and c % batch_size:
-                total += 1
-        return total

@@ -55,15 +55,40 @@ class DeviceCorpus:
         L, F = ds.label_dim, ds.feat_dim
         rng = np.random.default_rng(crop_seed)
         self.n_shards = int(mesh.shape["data"]) if (mesh is not None and shard_corpus) else 1
-        # pad the utterance count so every device shard is equal-sized;
-        # padding rows are all-masked duplicates of row 0
-        N_pad = -(-N // self.n_shards) * self.n_shards if shard_corpus else N
+        n_proc = jax.process_count()
 
-        lab = np.zeros((N_pad, bound, L), np.float32)
-        cmp_ = np.zeros((N_pad, bound, F), np.float32)
-        mask = np.zeros((N_pad, bound), np.float32)
-        for i in range(N):
-            l, c = ds.labs[i], ds.cmps[i]
+        # Local padded row count. Each device shard must be equal-sized; the
+        # padding rows are CYCLIC DUPLICATES of real utterances (real masks)
+        # so a shard never degenerates to all-masked rows and the sampler may
+        # draw any row (bounded duplicate-sampling dilution instead of dead
+        # devices). Multi-process + shard_corpus: ``ds`` is this process's
+        # ``Dataset.shard``; the per-shard size must agree globally, so it is
+        # derived from the all-gathered max local count.
+        if self.n_shards > 1 and n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            if self.n_shards % n_proc != 0:
+                raise ValueError(
+                    f"data axis ({self.n_shards}) must divide evenly across "
+                    f"{n_proc} processes"
+                )
+            local_shards = self.n_shards // n_proc
+            all_n = np.asarray(multihost_utils.process_allgather(np.int32(N)))
+            per_shard = -(-int(all_n.max()) // local_shards)
+            N_local = per_shard * local_shards
+            N_pad = per_shard * self.n_shards  # global
+        elif self.n_shards > 1:
+            N_local = -(-N // self.n_shards) * self.n_shards
+            N_pad = N_local
+        else:
+            N_local = N_pad = N
+
+        lab = np.zeros((N_local, bound, L), np.float32)
+        cmp_ = np.zeros((N_local, bound, F), np.float32)
+        mask = np.zeros((N_local, bound), np.float32)
+        for i in range(N_local):
+            src = i % N
+            l, c = ds.labs[src], ds.cmps[src]
             n = l.shape[0]
             off = 0
             if n > bound:
@@ -84,7 +109,19 @@ class DeviceCorpus:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             spec = P("data") if shard_corpus else P()
-            put = lambda x: jax.device_put(x, NamedSharding(mesh, spec))
+            sh = lambda x: NamedSharding(mesh, spec if x.ndim else P())
+            if n_proc > 1:
+                # multi-process: device_put would treat the local value as
+                # the global array; assemble from process-local rows instead
+                # (sharded: these ARE the local rows; replicated: every
+                # process must hold the identical full corpus)
+                def put(x):
+                    gshape = (N_pad,) + x.shape[1:] if shard_corpus else x.shape
+                    return jax.make_array_from_process_local_data(
+                        sh(x), np.ascontiguousarray(x), gshape
+                    )
+            else:
+                put = lambda x: jax.device_put(x, sh(x))
         else:
             put = jax.device_put
         self.data: Dict[str, jax.Array] = {
@@ -155,12 +192,20 @@ class DeviceCorpus:
             yield chunk.reshape(group, batch_size).astype(np.int32)
 
     def shard_indices(self, idx: np.ndarray):
-        """Device-put an index array, sharded over the mesh's data axis."""
+        """Place an index array sharded over the mesh's data axis. Every
+        process computes the identical global index array (same seed), so
+        multi-process placement contributes the process-local columns."""
         if self.mesh is None:
             return jnp.asarray(idx)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        return jax.device_put(idx, NamedSharding(self.mesh, P(None, "data")))
+        sh = NamedSharding(self.mesh, P(None, "data"))
+        if jax.process_count() > 1:
+            per = idx.shape[1] // jax.process_count()
+            p = jax.process_index()
+            local = np.ascontiguousarray(idx[:, p * per : (p + 1) * per])
+            return jax.make_array_from_process_local_data(sh, local, idx.shape)
+        return jax.device_put(idx, sh)
 
 
 def gather_batch(corpus_data: Dict[str, jax.Array], idx: jax.Array) -> Dict[str, jax.Array]:

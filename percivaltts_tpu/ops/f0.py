@@ -166,16 +166,13 @@ def estimate_f0(
 
 
 def _median_k(x: jax.Array, k: int) -> jax.Array:
-    """Vectorized k-tap median along a 1-D track (edge-replicated)."""
+    """Vectorized k-tap median along a 1-D track (edge-replicated). Safe for
+    tracks shorter than the filter (edge padding always yields length-n
+    windows, so very short utterances don't crash the jitted analysis)."""
     r = k // 2
-    pads = [
-        jnp.concatenate([jnp.repeat(x[:1], j), x[: x.shape[0] - j]]) if j > 0 else x
-        for j in range(r + 1)
-    ]
-    lags = [
-        jnp.concatenate([x[j:], jnp.repeat(x[-1:], j)]) for j in range(1, r + 1)
-    ]
-    stack = jnp.stack(pads + lags, axis=0)  # (k, nf)
+    n = x.shape[0]
+    xp = jnp.pad(x, (r, r), mode="edge")
+    stack = jnp.stack([xp[j : j + n] for j in range(k)], axis=0)  # (k, nf)
     return jnp.median(stack, axis=0)
 
 

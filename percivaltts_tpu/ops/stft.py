@@ -48,13 +48,16 @@ def frame_signal(
     cleanly on the VPU (and is the scheme the Pallas kernel uses).
     """
     n = x.shape[0]
+    # tail padding must cover total_blocks·hop below for ANY frame/hop ratio
+    # (short frames with large hops included): R·hop + 2·hop is the bound on
+    # what the blocked view can read past the signal
     if pad:
         half = frame_length // 2
         nf = num_frames(n, frame_length, hop)
-        x = jnp.pad(x, (half, frame_length + hop))
+        x = jnp.pad(x, (half, frame_length + 3 * hop))
     else:
         nf = max(1 + (n - frame_length) // hop, 0)
-        x = jnp.pad(x, (0, frame_length + hop))
+        x = jnp.pad(x, (0, frame_length + 3 * hop))
     R = -(-frame_length // hop)
     total_blocks = nf + R + 1
     x2d = x[: total_blocks * hop].reshape(total_blocks, hop)

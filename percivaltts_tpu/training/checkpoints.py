@@ -66,6 +66,19 @@ class CheckpointManager:
         step = self._mgr.best_step()
         return step if step is not None else self._mgr.latest_step()
 
+    def best_score(self):
+        """(step, score) of the best retained checkpoint, or None — lets a
+        resumed Trainer re-seed its best-metric/early-stopping tracking
+        instead of resetting it (which would re-checkpoint the first
+        post-resume epoch as 'best' and restart the patience window)."""
+        step = self._mgr.best_step()
+        if step is None:
+            return None
+        m = self._mgr.metrics(step)
+        if not m or "score" not in m:
+            return None
+        return step, float(m["score"])
+
     def restore(
         self,
         abstract_state: GANState,

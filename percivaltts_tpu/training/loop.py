@@ -241,6 +241,7 @@ class Trainer:
 
         self.best_valid = float("inf")
         self.best_epoch = -1
+        self._stale_evals = 0  # metric evaluations since the last improvement
         # the epoch to profile; set per train() call relative to the first
         # epoch THIS process runs (which pays the compile) — a fixed value
         # would never fire on resumed runs
@@ -262,7 +263,16 @@ class Trainer:
 
         abstract = jax.tree.map(_abstract, self.state)
         self.state = self.ckpt.restore(abstract, step)
-        print_log(f"resumed from checkpoint at epoch {step}")
+        # re-seed best-metric tracking from the retained checkpoints so the
+        # first resumed epoch isn't treated as an improvement and the
+        # early-stopping patience window continues instead of restarting
+        best = self.ckpt.best_score()
+        if best is not None:
+            self.best_epoch, self.best_valid = best
+        print_log(
+            f"resumed from checkpoint at epoch {step}"
+            + (f" (best {self.best_valid:.5f} @ {self.best_epoch})" if best else "")
+        )
         return True
 
     def _put(self, batch):
@@ -477,6 +487,13 @@ class Trainer:
             if improved:
                 self.best_valid = score
                 self.best_epoch = epoch
+                self._stale_evals = 0
+            elif score == score:
+                # patience counts EVALUATIONS of the configured metric, not
+                # epochs: with best_metric='mcd' the score only exists every
+                # measures_every epochs, and epoch-counted patience could
+                # stop before a second measurement ever happened
+                self._stale_evals += 1
             if (epoch + 1) % cfg.checkpoint_every == 0 or improved:
                 m = {"valid": float(va)} if va == va else {}
                 if obj is not None:
@@ -484,14 +501,10 @@ class Trainer:
                 if score == score:
                     m["score"] = float(score)
                 self.ckpt.save(epoch, self.state, metrics=m or None)
-            if (
-                self.best_epoch >= 0
-                and epoch - self.best_epoch >= cfg.patience
-                and va == va
-            ):
+            if self.best_epoch >= 0 and self._stale_evals >= cfg.patience:
                 print_log(
                     f"early stopping at epoch {epoch} "
-                    f"(best valid {self.best_valid:.5f} @ {self.best_epoch})"
+                    f"(best {self.best_valid:.5f} @ {self.best_epoch})"
                 )
                 break
         return history

@@ -19,6 +19,14 @@ T = TypeVar("T")
 _SENTINEL = object()
 
 
+class _PrefetchError:
+    """Typed error envelope — a dedicated class so no legitimate item the
+    iterable could yield (tuples, arrays, …) can ever be mistaken for it."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 def prefetch(iterable: Iterable[T], depth: int = 2) -> Iterator[T]:
     """Iterate ``iterable`` through a ``depth``-deep background queue.
 
@@ -33,7 +41,7 @@ def prefetch(iterable: Iterable[T], depth: int = 2) -> Iterator[T]:
             for item in iterable:
                 q.put(item)
         except BaseException as e:  # propagate into the consumer
-            q.put(("__prefetch_error__", e))
+            q.put(_PrefetchError(e))
         finally:
             q.put(_SENTINEL)
 
@@ -43,6 +51,6 @@ def prefetch(iterable: Iterable[T], depth: int = 2) -> Iterator[T]:
         item = q.get()
         if item is _SENTINEL:
             break
-        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__prefetch_error__":
-            raise item[1]
+        if isinstance(item, _PrefetchError):
+            raise item.exc
         yield item

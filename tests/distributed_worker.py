@@ -8,7 +8,12 @@ devices) and once as two processes (2 devices each, joined via
 both runs produce the same numbers — multi-host data parallelism must be a
 pure re-partitioning of the same computation.
 
-Usage: python distributed_worker.py <process_id> <num_processes> <port> <devices_per_proc>
+Usage: python distributed_worker.py <process_id> <num_processes> <port>
+       <devices_per_proc> [mode]
+
+``mode`` = "stream" (default; global_batch placement) or "devcorpus"
+(HBM-resident sharded corpus: each process uploads only its
+``Dataset.shard`` and the in-jit shard_map gather assembles batches).
 """
 
 import os
@@ -20,6 +25,7 @@ pid, nproc, port, dev_per = (
     sys.argv[3],
     int(sys.argv[4]),
 )
+mode = sys.argv[5] if len(sys.argv) > 5 else "stream"
 os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={dev_per}"
 os.environ["JAX_PLATFORMS"] = "cpu"
 
@@ -69,13 +75,39 @@ ds = Dataset(labs=labs, cmps=[l @ W for l in labs])
 
 mesh = make_mesh(data_parallel=0, model_parallel=1)
 state = replicate_state_global(make_gan_state(cfg, LDIM), mesh)
-step = jax.jit(lse_step, donate_argnums=(0,))
 
 loss = None
-for epoch in range(3):
-    for b in ds.batches(8, (32,), shuffle=True, seed=1, epoch=epoch):
-        state, m = step(state, global_batch(b, mesh))
-        loss = m["loss"]
+if mode == "devcorpus":
+    from percivaltts_tpu.data.device_corpus import (
+        DeviceCorpus,
+        make_device_lse_step,
+    )
+
+    if nproc > 1:
+        local_ds = ds.shard(nproc, pid)
+    else:
+        # emulate the 2-process shard assignment so the single-process
+        # contiguous device sharding holds the same utterances per shard:
+        # global order = proc0's strided shard then proc1's
+        order = list(range(0, len(ds), 2)) + list(range(1, len(ds), 2))
+        local_ds = Dataset(
+            labs=[ds.labs[i] for i in order],
+            cmps=[ds.cmps[i] for i in order],
+        )
+    dc = DeviceCorpus(local_ds, bound=32, mesh=mesh, shard_corpus=True)
+    dstep = jax.jit(
+        make_device_lse_step(lse_step, sharded_mesh=mesh), donate_argnums=(0,)
+    )
+    for epoch in range(3):
+        for idx in dc.epoch_indices(batch_size=8, group=1, epoch=epoch, seed=1):
+            state, m = dstep(state, dc.data, dc.shard_indices(idx))
+            loss = m["loss"]
+else:
+    step = jax.jit(lse_step, donate_argnums=(0,))
+    for epoch in range(3):
+        for b in ds.batches(8, (32,), shuffle=True, seed=1, epoch=epoch):
+            state, m = step(state, global_batch(b, mesh))
+            loss = m["loss"]
 
 checksum = sum(
     float(jax.numpy.sum(jax.numpy.abs(x))) for x in jax.tree.leaves(state.gen.params)

@@ -25,14 +25,14 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run(nproc: int, dev_per: int, port: int):
+def _run(nproc: int, dev_per: int, port: int, mode: str = "stream"):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env.pop("JAX_PLATFORMS", None)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(i), str(nproc), str(port), str(dev_per)],
+            [sys.executable, WORKER, str(i), str(nproc), str(port), str(dev_per), mode],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -58,5 +58,18 @@ def test_two_process_matches_single_process():
     # both processes of the 2-proc run agree with each other...
     np.testing.assert_allclose(two[0], two[1], rtol=1e-6)
     # ...and with the single-process 4-device run
+    np.testing.assert_allclose(two[0][0], single[0], rtol=2e-4)
+    np.testing.assert_allclose(two[0][1], single[1], rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_two_process_sharded_device_corpus():
+    """Multi-host + shard_corpus: each process uploads only its Dataset
+    shard (make_array_from_process_local_data) and the shard_map gather
+    assembles batches. The single-process run reorders utterances to the
+    2-process shard assignment, so trajectories must match exactly."""
+    single = _run(1, 4, _free_port(), mode="devcorpus")[0]
+    two = _run(2, 2, _free_port(), mode="devcorpus")
+    np.testing.assert_allclose(two[0], two[1], rtol=1e-6)
     np.testing.assert_allclose(two[0][0], single[0], rtol=2e-4)
     np.testing.assert_allclose(two[0][1], single[1], rtol=2e-4)

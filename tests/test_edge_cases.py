@@ -44,3 +44,44 @@ def test_single_utterance_dataset_batches():
     batches = list(ds.batches(2, (16,), drop_remainder=False))
     assert len(batches) == 1
     assert batches[0]["lab"].shape == (2, 16, 3)
+
+
+def test_estimate_f0_very_short_signal():
+    """Tracks shorter than the median filters must not crash the jitted
+    analysis (truncated/glitch utterances in a corpus)."""
+    import jax.numpy as jnp
+
+    from percivaltts_tpu.ops.f0 import estimate_f0
+
+    for n in (90, 200, 350):
+        res = estimate_f0(jnp.asarray(np.random.default_rng(0).normal(size=n).astype(np.float32)), 16000, 80)
+        assert np.isfinite(np.asarray(res.f0)).all()
+
+
+def test_frame_signal_short_frames_large_hop():
+    """frame_length < 2*hop with n not a multiple of hop exercised the old
+    pad-deficit reshape failure."""
+    import jax.numpy as jnp
+
+    from percivaltts_tpu.ops.stft import frame_signal
+
+    for n, fl, hop in [(9, 4, 4), (17, 4, 8), (33, 6, 16)]:
+        x = jnp.arange(n, dtype=jnp.float32)
+        fr = frame_signal(x, fl, hop)
+        assert fr.shape == (int(np.ceil(n / hop)), fl)
+
+
+def test_batches_fill_batch_from_tiny_bucket():
+    """A bucket smaller than the pad deficit must still yield full-size
+    batches (sharded meshes need divisible row counts)."""
+    from percivaltts_tpu.data.dataset import Dataset
+
+    rng = np.random.default_rng(0)
+    labs = [rng.normal(size=(20, 3)).astype(np.float32) for _ in range(3)]
+    ds = Dataset(labs=labs, cmps=[l * 2 for l in labs])
+    batches = list(ds.batches(8, (32,), drop_remainder=False))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["lab"].shape[0] == 8
+    # exactly 3 real rows carry mask; the 5 cycled pad rows are zero-masked
+    assert int((b["lengths"] > 0).sum()) == 3
