@@ -64,12 +64,15 @@ def cmd_demo(args) -> int:
 
 
 def _compose(cfg: Configuration):
+    import jax
+
     from percivaltts_tpu.data.compose import compose
 
     cache = os.path.join(cfg.workdir, "feature_cache")
     os.makedirs(cache, exist_ok=True)
     corpus = compose(cfg, cache_dir=cache)
-    corpus.save_stats(cfg.workdir)
+    if jax.process_index() == 0:  # multi-host: one writer on shared workdirs
+        corpus.save_stats(cfg.workdir)
     return corpus
 
 
@@ -110,6 +113,12 @@ def cmd_train(args) -> int:
     if args.mesh:
         mesh = make_mesh(data_parallel=cfg.train.data_parallel)
         print_log(f"training on mesh {mesh}")
+    if on_device and cfg.train.measures_every > 0:
+        print_log(
+            "WARNING: --on-device-norm disables objective-measure "
+            "validation (measures_every) — the measures path needs "
+            "host-normalized features"
+        )
     trainer = Trainer(
         cfg,
         corpus.train,
@@ -132,8 +141,6 @@ def cmd_train(args) -> int:
 def cmd_generate(args) -> int:
     cfg = _load_config(args.config)
     corpus = _compose(cfg)
-    import jax
-
     from percivaltts_tpu.eval.generate import generate
     from percivaltts_tpu.training.checkpoints import CheckpointManager
     from percivaltts_tpu.training.state import abstract_gan_state
@@ -166,7 +173,6 @@ def cmd_synth(args) -> int:
     cfg = _load_config(args.config)
     import glob as _glob
 
-    import jax
     import numpy as np
 
     from percivaltts_tpu.data.compose import save_wav

@@ -108,7 +108,10 @@ class DataConfig:
     batch_size: int = 32
     # utterances longer than the largest bound are randomly cropped to it
     bucket_bounds: Tuple[int, ...] = (256, 512, 768, 1024)
-    label_dim: int = 425  # question-set binarization output dim (demo value)
+    # expected composed label dimension (questions + frame features).
+    # Purely declarative for synthetic/bench state construction; when > 0,
+    # compose() warns if the actual composed dimension differs.
+    label_dim: int = 425
     shuffle_seed: int = 42
 
 
@@ -226,7 +229,7 @@ class Configuration:
 
     def dump(self, path: Optional[str] = None) -> str:
         path = path or os.path.join(self.workdir, "config.json")
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w") as f:
             json.dump(self.to_dict(), f, indent=2, sort_keys=True)
         return path

@@ -19,6 +19,7 @@ import numpy as np
 
 from percivaltts_tpu.config import Configuration
 from percivaltts_tpu.data.dataset import Dataset, split_fileids
+from percivaltts_tpu import native
 from percivaltts_tpu.data.hts_labels import (
     NUM_FRAME_FEATURES,
     QuestionSet,
@@ -174,12 +175,27 @@ def compose(
     keep = [voc.streams[k] for k in ("nm", "vuv", "bap") if k in voc.streams]
     out_stats = compute_meanstd(train.cmps, keep_streams=keep)
 
+    if cfg.data.label_dim > 0 and full.label_dim != cfg.data.label_dim:
+        print_log(
+            f"note: composed label dim {full.label_dim} != configured "
+            f"data.label_dim {cfg.data.label_dim} (the composed value is "
+            f"authoritative; the config field is declarative)"
+        )
+
     def norm(ds: Dataset) -> Dataset:
         if not normalize:
             return ds
+        # in-place via the native data plane (the arrays are pipeline-fresh
+        # and referenced only by this corpus); numpy fallback inside
         return Dataset(
-            labs=[in_stats.normalize(l).astype(np.float32) for l in ds.labs],
-            cmps=[out_stats.normalize(c).astype(np.float32) for c in ds.cmps],
+            labs=[
+                native.normalize_inplace(l, in_stats.shift, in_stats.scale)
+                for l in ds.labs
+            ],
+            cmps=[
+                native.normalize_inplace(c, out_stats.shift, out_stats.scale)
+                for c in ds.cmps
+            ],
             ids=ds.ids,
         )
 

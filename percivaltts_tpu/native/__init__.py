@@ -38,12 +38,19 @@ def _build() -> bool:
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building if needed) the native library; None if unavailable.
+
+    ``make`` runs unconditionally (it no-ops when the .so is newer than the
+    sources) so a stale or foreign-ISA binary is rebuilt for THIS host —
+    the library is compiled with -march=native and must never ship
+    prebuilt. If the build toolchain is missing but a .so exists, it is
+    used best-effort."""
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and not _build():
+    built = _build()
+    if not built and not os.path.exists(_LIB_PATH):
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -100,6 +107,10 @@ def read_f32(path: str, dim: int) -> np.ndarray:
     if lib is None:
         return np.fromfile(path, dtype=np.float32).reshape(-1, dim)
     count = lib.pn_file_f32_count(path.encode())
+    if count == -2:
+        # exists but its byte size is not a multiple of 4 — data corruption,
+        # not a missing file (matches the numpy fallback's ValueError)
+        raise ValueError(f"{path}: truncated/corrupt float32 file")
     if count < 0:
         raise FileNotFoundError(path)
     if count % dim != 0:

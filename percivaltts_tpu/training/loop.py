@@ -140,8 +140,14 @@ class Trainer:
                 )
         self.workdir = workdir or cfg.workdir
         os.makedirs(self.workdir, exist_ok=True)
-        cfg.dump(os.path.join(self.workdir, "config.json"))
-        self.metrics = MetricsLogger(os.path.join(self.workdir, "metrics.jsonl"))
+        if jax.process_index() == 0:
+            cfg.dump(os.path.join(self.workdir, "config.json"))
+        # multi-host: only process 0 writes metrics (all processes still
+        # compute them — the records are identical by construction)
+        self.metrics = MetricsLogger(
+            os.path.join(self.workdir, "metrics.jsonl"),
+            enabled=jax.process_index() == 0,
+        )
         from percivaltts_tpu.utils.profiling import system_info
 
         self.metrics.log("system", **system_info())

@@ -16,10 +16,12 @@ import time
 from typing import Any, Dict, IO, Optional
 
 
-def print_log(msg: str, file: IO = sys.stdout) -> None:
-    """Timestamped log line (reference: utils.print_log)."""
+def print_log(msg: str, file: Optional[IO] = None) -> None:
+    """Timestamped log line (reference: utils.print_log). The stream is
+    resolved at CALL time so redirecting sys.stdout (pytest capture,
+    contextlib.redirect_stdout) is honored."""
     ts = time.strftime("%Y-%m-%d %H:%M:%S")
-    print(f"[{ts}] {msg}", file=file, flush=True)
+    print(f"[{ts}] {msg}", file=file if file is not None else sys.stdout, flush=True)
 
 
 class MetricsLogger:
@@ -27,12 +29,19 @@ class MetricsLogger:
 
     Each record carries a wall-clock timestamp, a ``kind`` tag
     (e.g. "train_step", "valid", "objective") and arbitrary numeric fields.
+
+    ``enabled=False`` turns every write into a no-op (still returns the
+    record): multi-host training passes ``enabled=(process_index == 0)`` so
+    N processes on a shared workdir don't interleave N copies of every
+    record into the same file.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, enabled: bool = True):
         self.path = path
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        self._f = open(path, "a", buffering=1)
+        self._f = None
+        if enabled:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._f = open(path, "a", buffering=1)
 
     def log(self, kind: str, **fields: Any) -> Dict[str, Any]:
         rec = {"ts": time.time(), "kind": kind}
@@ -44,11 +53,13 @@ class MetricsLogger:
                 except Exception:
                     v = float(v)
             rec[k] = v
-        self._f.write(json.dumps(rec) + "\n")
+        if self._f is not None:
+            self._f.write(json.dumps(rec) + "\n")
         return rec
 
     def close(self) -> None:
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
 
     def __enter__(self) -> "MetricsLogger":
         return self

@@ -78,3 +78,25 @@ def test_melspec_synthesize_batch_matches_single():
     for a, b in zip(batched, singles):
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_world_batched_paths_match_single():
+    from percivaltts_tpu.config import VocoderConfig
+    from percivaltts_tpu.vocoders import get_vocoder
+
+    voc = get_vocoder(VocoderConfig(kind="world", spec_size=17, nm_size=9, fs=16000))
+    rng = np.random.default_rng(5)
+    t = np.arange(9000) / 16000.0
+    wavs = [
+        (0.4 * np.sin(2 * np.pi * 150 * t[:n]) + 0.02 * rng.normal(size=n)).astype(np.float32)
+        for n in (6000, 9000)
+    ]
+    singles = [voc.analyze(w) for w in wavs]
+    batched = voc.analyze_batch(wavs)
+    for a, b in zip(batched, singles):
+        np.testing.assert_allclose(a, b, atol=2e-3)
+    syn_single = [voc.synthesize(f, seed=2) for f in singles]
+    syn_batched = voc.synthesize_batch(singles, seed=2, chunk=2)
+    for a, b in zip(syn_batched, syn_single):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-3)
