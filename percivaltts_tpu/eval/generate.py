@@ -27,7 +27,7 @@ import numpy as np
 from percivaltts_tpu.config import Configuration
 from percivaltts_tpu.data.dataset import Dataset
 from percivaltts_tpu.data.normalize import NormStats
-from percivaltts_tpu.eval.measures import log_spec_to_cepstra, per_frame_mcd_np
+from percivaltts_tpu.eval.measures import per_frame_mcd_np
 from percivaltts_tpu.models.base import predict_batch
 from percivaltts_tpu.training.state import GANState
 from percivaltts_tpu.utils.fileio import save_binary_file
@@ -49,6 +49,8 @@ def generate(
     voc = get_vocoder(cfg.vocoder)
     outdir = outdir or os.path.join(cfg.workdir, "generated")
     os.makedirs(outdir, exist_ok=True)
+    if len(dataset.ids) == 0:
+        raise ValueError("generate(): the requested split has no utterances")
 
     # batched predict, then denormalize on host
     preds_n = predict_batch(state.gen.apply_fn, state.gen.params, dataset.labs)
@@ -61,15 +63,14 @@ def generate(
         refs.append(ref)
         ns.append(n)
 
-    # one stacked cepstra transform for all utterances (padded to max n)
-    spec_key = "spec" if "spec" in voc.streams else "mel"
-    a, b = voc.streams[spec_key]
+    # one stacked cepstra transform for all utterances (padded to max n);
+    # stream selection + DCT live in Vocoder.cepstra (single MCD definition)
     nmax = max(ns)
-    stack = np.zeros((2 * len(ns), nmax, b - a), np.float32)
+    stack = np.zeros((2 * len(ns), nmax, preds[0].shape[1]), np.float32)
     for i, n in enumerate(ns):
-        stack[2 * i, :n] = preds[i][:n, a:b]
-        stack[2 * i + 1, :n] = refs[i][:n, a:b]
-    ceps = np.asarray(log_spec_to_cepstra(stack, 25))
+        stack[2 * i, :n] = preds[i][:n]
+        stack[2 * i + 1, :n] = refs[i][:n]
+    ceps = voc.cepstra(stack)
 
     mcds, f0rs, vuvs = [], [], []
     for i, n in enumerate(ns):
@@ -95,8 +96,12 @@ def generate(
             save_wav(os.path.join(outdir, uid + ".wav"), cfg.vocoder.fs, wav)
 
     measures: Dict[str, float] = {"mcd_db": float(np.mean(mcds))}
+    # independent gates: a checkpoint predicting all-unvoiced has no
+    # both-voiced frames (no f0 RMSE) but its 100% voicing disagreement is
+    # exactly what vuv_error_pct must still expose
     if f0rs:
         measures["f0_rmse_hz"] = float(np.mean(f0rs))
+    if vuvs:
         measures["vuv_error_pct"] = float(np.mean(vuvs))
     print_log(
         "objective measures: "

@@ -15,13 +15,16 @@ Definitions:
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-_MCD_K = 10.0 / jnp.log(10.0) * jnp.sqrt(2.0)
+# plain float: per_frame_mcd_np must stay device-free (a jnp scalar here
+# would cost one device readback per call and force backend init on import)
+_MCD_K = 10.0 / math.log(10.0) * math.sqrt(2.0)
 
 
 def log_spec_to_cepstra(logspec: jax.Array, order: Optional[int] = None) -> jax.Array:
@@ -32,7 +35,9 @@ def log_spec_to_cepstra(logspec: jax.Array, order: Optional[int] = None) -> jax.
     One (F, order) matmul per frame — MXU-shaped, fuses under jit.
     """
     F = logspec.shape[-1]
-    order = F if order is None else order
+    # clamp: a DCT basis with order > F would alias low-order energy into
+    # duplicated columns and silently inflate MCD for narrow-band configs
+    order = F if order is None else min(order, F)
     n = jnp.arange(F, dtype=jnp.float32)
     k = jnp.arange(order, dtype=jnp.float32)
     basis = jnp.cos(jnp.pi * (n[:, None] + 0.5) * k[None, :] / F)  # (F, order)
@@ -49,7 +54,7 @@ def per_frame_mcd_np(
     d = np.asarray(cep1) - np.asarray(cep2)
     if exclude_c0:
         d = d[..., 1:]
-    return float(_MCD_K) * np.sqrt(np.sum(d * d, axis=-1))
+    return _MCD_K * np.sqrt(np.sum(d * d, axis=-1))
 
 
 def mcd(

@@ -558,8 +558,9 @@ def _bigru_bwd_pallas(gx_f, gx_b, wh_f, wh_b, bn_f, bn_b,
     T, B, H3 = gx_f.shape
     H = H3 // 3
     dt = gx_f.dtype
-    # in: 2×3H (gx) + 2×H (hp) + 2×H (dy); out: 2×3H + 2×H  → 16H per frame
-    K = _pick_block(T, B, H, gx_f.dtype.itemsize, 16)
+    # in: 2×3H (gx) + 2×H (hp) + 2×H (dy); out: 2×3H (dgx) + 2×H (dnr)
+    # → 18H per frame
+    K = _pick_block(T, B, H, gx_f.dtype.itemsize, 18)
     G = T // K
 
     blk = lambda i: (G - 1 - i, 0, 0)

@@ -48,6 +48,3 @@ def masked_rmse(pred: jax.Array, target: jax.Array, mask: jax.Array) -> jax.Arra
     return jnp.sqrt(masked_mse(pred, target, mask))
 
 
-def masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
-    """Mean of per-frame values (B, T) over valid frames."""
-    return (x * mask).sum() / jnp.maximum(mask.sum(), 1.0)

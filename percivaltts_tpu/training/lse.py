@@ -13,6 +13,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from percivaltts_tpu.training.losses import masked_mse
 from percivaltts_tpu.training.state import GANState
@@ -33,14 +34,9 @@ def lse_step(
     gen = state.gen.apply_gradients(grads=grads)
     metrics = {
         "loss": loss,
-        "grad_norm": optax_global_norm(grads),
+        "grad_norm": optax.global_norm(grads),
     }
     return state.replace(gen=gen), metrics
-
-
-def optax_global_norm(tree) -> jax.Array:
-    leaves = jax.tree.leaves(tree)
-    return jnp.sqrt(sum(jnp.vdot(x, x).real for x in leaves))
 
 
 def lse_eval_step(state: GANState, batch: Dict[str, jax.Array]) -> jax.Array:

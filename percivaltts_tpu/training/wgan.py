@@ -21,6 +21,7 @@ host round-trips inside the step.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, Tuple
 
 import jax
@@ -132,6 +133,13 @@ def make_wgan_step(
     return step
 
 
-# default-config step for direct use/tests
+# default-config step for direct use/tests. The built step is cached per
+# (hashable, frozen) TrainConfig so jitted callers re-trace once per config
+# instead of once per call.
+@functools.lru_cache(maxsize=None)
+def _cached_step(cfg: TrainConfig):
+    return make_wgan_step(cfg)
+
+
 def wgan_step(state, critic_batches, gen_batch, cfg: TrainConfig = TrainConfig()):
-    return make_wgan_step(cfg)(state, critic_batches, gen_batch)
+    return _cached_step(cfg)(state, critic_batches, gen_batch)
