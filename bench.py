@@ -167,8 +167,11 @@ def main() -> None:
         else f"train_throughput_config{args.config}",
         "value": round(frames_per_sec, 1),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(frames_per_sec / CPU_BASELINE_FRAMES_PER_SEC, 2),
     }
+    if args.config == 3:
+        # the CPU anchor was measured for THIS config/shape only; a ratio
+        # for the other configs would compare incomparable workloads
+        out["vs_baseline"] = round(frames_per_sec / CPU_BASELINE_FRAMES_PER_SEC, 2)
     flops = _flops_per_step(step, state, *step_args)
     peak = _peak_flops(jax.devices()[0])
     if flops is not None:

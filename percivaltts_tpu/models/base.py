@@ -15,6 +15,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def dtype_by_name(name: str):
+    """Shared compute/param dtype lookup for the model zoo."""
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
 # Utterance lengths are padded up to a multiple of this for prediction so the
 # critic/generator conv stacks (time strides up to 4) and TPU lane tiling see
 # friendly shapes, and so the number of jit variants stays bounded.

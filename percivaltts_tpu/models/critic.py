@@ -26,8 +26,7 @@ from flax import linen as nn
 from percivaltts_tpu.config import ModelConfig, VocoderConfig
 
 
-def _dtype(name: str):
-    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+from percivaltts_tpu.models.base import dtype_by_name as _dtype
 
 
 class Critic(nn.Module):

@@ -30,8 +30,7 @@ from percivaltts_tpu.config import ModelConfig, VocoderConfig
 from percivaltts_tpu.models.rnn import BiLSTM
 
 
-def _dtype(name: str):
-    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+from percivaltts_tpu.models.base import dtype_by_name as _dtype
 
 
 class FCGenerator(nn.Module):

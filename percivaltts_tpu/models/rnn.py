@@ -6,7 +6,7 @@ standard BLSTM with separate forward/backward parameters.
 
 TPU-first redesign, two tiers:
 
-* **Pallas kernel** (default on TPU, ``cell_type="lstm"``): the whole
+* **Pallas kernel** (default on TPU for lane-aligned widths): the whole
   recurrence runs as one kernel per direction-pair with carries resident in
   VMEM and the input projections hoisted to big MXU GEMMs —
   ``ops/lstm_pallas.py``. An XLA scan is *latency*-bound (~6 µs/step of
@@ -14,7 +14,8 @@ TPU-first redesign, two tiers:
   the per-step launch entirely. Measured v5e (D=256, H=128, T=512):
   forward 3.2→2.1 ms at B=160; forward+backward 10.2→4.0 ms at B=160 and
   4.8→1.9 ms at B=32 (the training path, via the kernel's custom-VJP BPTT).
-* **Fused scan fallback** (CPU / GRU / explicit ``use_pallas=False``): both
+* **Fused scan fallback** (CPU / misaligned widths / explicit
+  ``use_pallas=False``): both
   directions step in ONE ``lax.scan`` (forward cell on x[t], backward cell
   on x[T−1−t]) with the body unrolled (default 16×) — scan count, not
   FLOPs, sets the cost.
@@ -37,8 +38,7 @@ from flax import linen as nn
 from percivaltts_tpu.ops.lstm_pallas import bigru_pallas, bilstm_pallas
 
 
-def _dtype(name: str):
-    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+from percivaltts_tpu.models.base import dtype_by_name as _dtype
 
 
 _GATES = "ifgo"
@@ -112,10 +112,10 @@ class _GRUDirParams(nn.Module):
 class BiLSTM(nn.Module):
     """(B, T, D) → (B, T, 2·features); fused bidirectional recurrence.
 
-    ``cell_type="gru"`` gives the reference's BGRU variant (fused-scan path
-    only). ``use_pallas``: None = auto (TPU backend and LSTM cell),
-    True/False forces; ``pallas_interpret`` runs the kernel in interpreter
-    mode (CPU tests).
+    ``cell_type="gru"`` gives the reference's BGRU variant (same two tiers,
+    GRU kernels). ``use_pallas``: None = auto (TPU backend + lane-aligned
+    gate width), True/False forces; ``pallas_interpret`` runs the kernel in
+    interpreter mode (CPU tests).
     """
 
     features: int
@@ -132,10 +132,14 @@ class BiLSTM(nn.Module):
     def _pick_pallas(self) -> bool:
         if self.use_pallas is not None:
             return self.use_pallas
-        # auto: TPU backend AND lane-aligned gate width (4H a multiple of
-        # the 128-lane tile) — tiny test/demo models would only pay Mosaic
-        # padding overhead for the kernel launch
-        return jax.default_backend() == "tpu" and (4 * self.features) % 128 == 0
+        # auto: TPU backend AND lane-aligned gate width (4H for LSTM, 3H for
+        # GRU, a multiple of the 128-lane tile) — misaligned models would
+        # only pay Mosaic padding overhead for the kernel launch
+        gates = 3 if self.cell_type == "gru" else 4
+        return (
+            jax.default_backend() == "tpu"
+            and (gates * self.features) % 128 == 0
+        )
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:

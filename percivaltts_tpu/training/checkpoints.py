@@ -24,25 +24,39 @@ class CheckpointManager:
     """Thin wrapper around an Orbax CheckpointManager for GANState pytrees."""
 
     def __init__(self, directory: str, keep: int = 3):
+        from orbax.checkpoint._src.checkpoint_managers import (
+            preservation_policy as pp,
+        )
+
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        # Retention = LatestN ∪ BestN: Orbax's plain best_fn+max_to_keep
+        # keeps ONLY the best-scored checkpoints — once the metric plateaus,
+        # every newer save is culled immediately and resume() silently loses
+        # recent epochs. "score" is the trainer's configured best metric
+        # (TrainConfig.best_metric — MCD or validation MSE); saves without a
+        # score (non-measure epochs when the metric is MCD with
+        # measures_every > 1) rank last rather than falling back to another
+        # metric (validation MSE ~0.x vs MCD in dB are incomparable).
+        self._best_fn = lambda m: (m or {}).get("score", float("inf"))
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=keep,
                 create=True,
                 enable_async_checkpointing=False,
-                # keep the best checkpoint alive alongside the most recent
-                # ones (the reference generates from its save-on-improvement
-                # weights); "score" is the trainer's configured best metric
-                # (TrainConfig.best_metric — MCD or validation MSE). Saves
-                # without a score (e.g. non-measure epochs when the metric is
-                # MCD with measures_every > 1) rank last — falling back to
-                # another metric here would compare incomparable quantities
-                # (validation MSE ~0.x vs MCD in dB)
-                best_fn=lambda m: m.get("score", float("inf")),
+                best_fn=self._best_fn,
                 best_mode="min",
-                keep_checkpoints_without_metrics=True,
+                preservation_policy=pp.AnyPreservationPolicy(
+                    [
+                        pp.LatestN(keep),
+                        pp.BestN(
+                            get_metric_fn=self._best_fn,
+                            reverse=True,  # min is best
+                            n=keep,
+                            keep_checkpoints_without_metrics=False,
+                        ),
+                    ]
+                ),
             ),
         )
 

@@ -48,6 +48,7 @@ from percivaltts_tpu.ops.cheaptrick import (
     CAL,
     DEFAULT_UNVOICED_F0,
     cheaptrick_envelope,
+    lerp_gather,
 )
 from percivaltts_tpu.ops.envelope import spectral_envelope
 from percivaltts_tpu.ops.f0 import estimate_f0
@@ -217,6 +218,27 @@ def pml_analyze_core(
     return feats, vuv
 
 
+def _harmonic_grid(f0, f0_min, fs, dftlen):
+    """Static harmonic-count grid: (k numbers, (nf, K) fractional bin
+    positions, validity mask below Nyquist). Shared by both synthesis
+    cores; sampling a spectrum at the harmonics is ``lerp_gather(M, bp)``.
+    """
+    K = int(fs / 2.0 / f0_min)
+    k = jnp.arange(1, K + 1, dtype=jnp.float32)
+    binpos = f0[:, None] * k[None, :] * dftlen / fs  # (nf, K)
+    valid = binpos < (dftlen / 2.0 - 1.0)
+    return k, binpos, valid
+
+
+def _frame_to_sample(nf, n, hop):
+    """Per-sample frame interpolation coefficients: (i0, w1) with
+    track_s = track[i0]·(1−w1) + track[i0+1]·w1."""
+    frame_pos = jnp.arange(n, dtype=jnp.float32) / hop
+    i0 = jnp.clip(jnp.floor(frame_pos).astype(jnp.int32), 0, nf - 2)
+    w1 = frame_pos - i0.astype(jnp.float32)
+    return i0, w1
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -226,7 +248,6 @@ def pml_analyze_core(
         "dftlen",
         "f0_min",
         "f0_max",
-        "seed",
     ),
 )
 def pml_synthesize_core(
@@ -260,29 +281,14 @@ def pml_synthesize_core(
     wsum = jnp.sum(window)
 
     # ---- harmonic part ------------------------------------------------- #
-    K = int(fs / 2.0 / f0_min)  # static harmonic count
-    k = jnp.arange(1, K + 1, dtype=jnp.float32)
-    binpos = f0[:, None] * k[None, :] * dftlen / fs  # (nf, K)
-    valid = binpos < (dftlen / 2.0 - 1.0)
-    bp = jnp.clip(binpos, 0.0, bins - 2.0)
-    b0 = jnp.floor(bp).astype(jnp.int32)
-    frac = bp - b0.astype(jnp.float32)
-
-    def gather_bins(M):
-        lo = jnp.take_along_axis(M, b0, axis=-1)
-        hi = jnp.take_along_axis(M, b0 + 1, axis=-1)
-        return lo * (1.0 - frac) + hi * frac
-
-    A_k = gather_bins(A)  # (nf, K)
-    nm_k = gather_bins(nm_bins)
+    k, binpos, valid = _harmonic_grid(f0, f0_min, fs, dftlen)
+    A_k = lerp_gather(A, binpos)  # (nf, K)
+    nm_k = lerp_gather(nm_bins, binpos)
     amp_f = (2.0 / wsum) * A_k * jnp.sqrt(jnp.clip(1.0 - nm_k, 0.0, 1.0))
     amp_f = jnp.where(valid, amp_f, 0.0)
 
     # per-sample phase from the continuous f0 (linear interp per sample)
-    t = jnp.arange(n, dtype=jnp.float32)
-    frame_pos = t / hop
-    i0 = jnp.clip(jnp.floor(frame_pos).astype(jnp.int32), 0, nf - 2)
-    w1 = frame_pos - i0.astype(jnp.float32)
+    i0, w1 = _frame_to_sample(nf, n, hop)
     f0_s = f0[i0] * (1.0 - w1) + f0[i0 + 1] * w1
     phase = 2.0 * jnp.pi * jnp.cumsum(f0_s) / fs  # (n,)
 
@@ -316,7 +322,6 @@ def pml_synthesize_core(
         "dftlen",
         "f0_min",
         "f0_max",
-        "seed",
         "noise_mod",
         "min_phase",
     ),
@@ -363,21 +368,9 @@ def pml_synthesize_amp_core(
     ).astype(jnp.float32)
 
     # ---- harmonic part: amplitudes + minimum-phase offsets --------------- #
-    K = int(fs / 2.0 / f0_min)  # static harmonic count
-    k = jnp.arange(1, K + 1, dtype=jnp.float32)
-    binpos = f0[:, None] * k[None, :] * dftlen / fs  # (nf, K)
-    valid = binpos < (dftlen / 2.0 - 1.0)
-    bp = jnp.clip(binpos, 0.0, bins - 2.0)
-    b0 = jnp.floor(bp).astype(jnp.int32)
-    frac = bp - b0.astype(jnp.float32)
-
-    def gather_bins(M):
-        lo = jnp.take_along_axis(M, b0, axis=-1)
-        hi = jnp.take_along_axis(M, b0 + 1, axis=-1)
-        return lo * (1.0 - frac) + hi * frac
-
-    amp_f = gather_bins(A) * jnp.sqrt(
-        jnp.clip(1.0 - gather_bins(nm_bins), 0.0, 1.0)
+    k, binpos, valid = _harmonic_grid(f0, f0_min, fs, dftlen)
+    amp_f = lerp_gather(A, binpos) * jnp.sqrt(
+        jnp.clip(1.0 - lerp_gather(nm_bins, binpos), 0.0, 1.0)
     )
     amp_f = jnp.where(valid, amp_f, 0.0)
 
@@ -393,15 +386,12 @@ def pml_synthesize_amp_core(
             jnp.where(tau < dftlen // 2, 2.0, 0.0),
         ).astype(jnp.float32)
         phi_bins = jnp.fft.rfft(cep * fold[None, :], axis=-1).imag[:, :bins]
-        phi_f = jnp.where(valid, gather_bins(phi_bins), 0.0)  # (nf, K)
+        phi_f = jnp.where(valid, lerp_gather(phi_bins, binpos), 0.0)  # (nf, K)
     else:
         phi_f = jnp.zeros_like(amp_f)
 
     # per-sample tracks (linear interp over frames)
-    t = jnp.arange(n, dtype=jnp.float32)
-    frame_pos = t / hop
-    i0 = jnp.clip(jnp.floor(frame_pos).astype(jnp.int32), 0, nf - 2)
-    w1 = frame_pos - i0.astype(jnp.float32)
+    i0, w1 = _frame_to_sample(nf, n, hop)
     f0_s = f0[i0] * (1.0 - w1) + f0[i0 + 1] * w1
     phase = 2.0 * jnp.pi * jnp.cumsum(f0_s) / fs  # (n,)
 
@@ -480,7 +470,6 @@ def _pml_analyze_vmapped(wavs, **kw):
         "dftlen",
         "f0_min",
         "f0_max",
-        "seed",
     ),
 )
 def _pml_synthesize_vmapped(lf0s, specs, nms, amp, **kw):
@@ -601,6 +590,9 @@ class PMLVocoder(Vocoder):
         to the chunk's frame bound, the jitted core maps over the batch, and
         per-utterance frame counts crop host-side. Compile variants stay
         bounded by FRAME_MULTIPLE exactly like ``analyze``."""
+        wavs = [self._check_wav(w) for w in wavs]
+        if not wavs:
+            return []
         c = self.cfg
         hop = c.shift_samples
         nfs = [int(np.ceil(len(w) / hop)) for w in wavs]

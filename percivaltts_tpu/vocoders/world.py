@@ -173,6 +173,9 @@ class WorldVocoder(Vocoder):
 
     def analyze_batch(self, wavs) -> list:
         """One vmapped device call per chunk (same contract as PML's)."""
+        wavs = [self._check_wav(w) for w in wavs]
+        if not wavs:
+            return []
         c = self.cfg
         hop = c.shift_samples
         nfs = [int(np.ceil(len(w) / hop)) for w in wavs]

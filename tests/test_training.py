@@ -259,3 +259,22 @@ def test_profile_steps_emits_trace_and_timings(tmp_path):
     ]
     epochs = [r for r in records if r.get("kind") == "epoch"]
     assert all("step_mean_s" in r and r["step_mean_s"] > 0 for r in epochs)
+
+
+def test_checkpoint_retention_keeps_latest_and_best(tmp_path):
+    """Retention = LatestN ∪ BestN: plateauing metrics must not cull the
+    most recent checkpoints (resume would silently lose epochs), and
+    score-less saves must never outrank scored ones."""
+    from percivaltts_tpu.training.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=3)
+    state = {"w": np.arange(4, dtype=np.float32)}
+    for step, sc in {0: 5.0, 1: 1.0, 2: 4.0, 3: None, 4: 3.5, 5: None, 6: 6.0, 7: 7.0}.items():
+        m = {"valid": 0.1}
+        if sc is not None:
+            m["score"] = sc
+        mgr.save(step, state, metrics=m)
+    assert mgr.latest_step() == 7
+    assert mgr.best_step() == 1
+    assert set(mgr._mgr.all_steps()) == {1, 2, 4, 5, 6, 7}
+    mgr.close()
