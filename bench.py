@@ -183,13 +183,18 @@ def main() -> None:
 
 if __name__ == "__main__":
     # the tunneled TPU backend occasionally throws a transient
-    # FailedPrecondition right after another process was killed — retry once
+    # FailedPrecondition/Unavailable right after another process was killed —
+    # retry once for those; anything else is a real failure and raises
+    # immediately
     try:
         main()
     except Exception as e:  # pragma: no cover - depends on backend state
         import sys
         import time as _t
 
+        transient = ("FailedPrecondition", "Unavailable", "DEADLINE", "Internal")
+        if not any(t.lower() in (type(e).__name__ + str(e)).lower() for t in transient):
+            raise
         print(f"bench attempt 1 failed ({type(e).__name__}); retrying in 30 s", file=sys.stderr)
         _t.sleep(30)
-        main()
+        main()  # a second failure propagates

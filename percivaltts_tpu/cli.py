@@ -139,6 +139,13 @@ def cmd_train(args) -> int:
 
 
 def cmd_generate(args) -> int:
+    """Generation + objective measures from a checkpoint.
+
+    Runs single-device by design (no ``--mesh``): the batched predict +
+    vmapped synthesis path finishes the 25-utterance demo split in ~30 s on
+    one chip, so the measures stage of a multi-chip training run simply
+    falls back to one device — sharding it would save seconds and cost a
+    second set of compile variants."""
     cfg = _load_config(args.config)
     corpus = _compose(cfg)
     from percivaltts_tpu.eval.generate import generate

@@ -201,6 +201,12 @@ class DeviceCorpus:
 
         sh = NamedSharding(self.mesh, P(None, "data"))
         if jax.process_count() > 1:
+            if idx.shape[1] % jax.process_count():
+                raise ValueError(
+                    f"batch_size={idx.shape[1]} must be divisible by "
+                    f"process_count={jax.process_count()} for multi-process "
+                    "index sharding (columns are split evenly per process)"
+                )
             per = idx.shape[1] // jax.process_count()
             p = jax.process_index()
             local = np.ascontiguousarray(idx[:, p * per : (p + 1) * per])

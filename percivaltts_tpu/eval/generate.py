@@ -63,18 +63,24 @@ def generate(
         refs.append(ref)
         ns.append(n)
 
-    # one stacked cepstra transform for all utterances (padded to max n);
-    # stream selection + DCT live in Vocoder.cepstra (single MCD definition)
-    nmax = max(ns)
-    stack = np.zeros((2 * len(ns), nmax, preds[0].shape[1]), np.float32)
-    for i, n in enumerate(ns):
-        stack[2 * i, :n] = preds[i][:n]
-        stack[2 * i + 1, :n] = refs[i][:n]
-    ceps = voc.cepstra(stack)
+    # stacked cepstra transform in fixed-size chunks (padded to max n per
+    # chunk): one device call per ~16 utterance pairs bounds host+HBM peak
+    # memory on large splits, unlike one stack over the whole split; stream
+    # selection + DCT live in Vocoder.cepstra (single MCD definition)
+    ceps: list = []
+    _CHUNK = 16
+    for c0 in range(0, len(ns), _CHUNK):
+        cn = ns[c0 : c0 + _CHUNK]
+        nmax = max(cn)
+        stack = np.zeros((2 * len(cn), nmax, preds[0].shape[1]), np.float32)
+        for j, n in enumerate(cn):
+            stack[2 * j, :n] = preds[c0 + j][:n]
+            stack[2 * j + 1, :n] = refs[c0 + j][:n]
+        ceps.extend(voc.cepstra(stack))
 
     mcds, f0rs, vuvs = [], [], []
     for i, n in enumerate(ns):
-        mcds.append(float(np.mean(per_frame_mcd_np(ceps[2 * i, :n], ceps[2 * i + 1, :n]))))
+        mcds.append(float(np.mean(per_frame_mcd_np(ceps[2 * i][:n], ceps[2 * i + 1][:n]))))
         try:
             f0p, vp = voc.f0_vuv(preds[i][: ns[i]])
             f0r, vr = voc.f0_vuv(refs[i][: ns[i]])

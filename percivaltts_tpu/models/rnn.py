@@ -129,16 +129,27 @@ class BiLSTM(nn.Module):
     # (multi-chip DP; without it XLA gathers around the custom call)
     shard_mesh: Any = None
 
-    def _pick_pallas(self) -> bool:
+    def _pick_pallas(self, B: int) -> bool:
         if self.use_pallas is not None:
             return self.use_pallas
         # auto: TPU backend AND lane-aligned gate width (4H for LSTM, 3H for
         # GRU, a multiple of the 128-lane tile) — misaligned models would
-        # only pay Mosaic padding overhead for the kernel launch
+        # only pay Mosaic padding overhead for the kernel launch — AND the
+        # BPTT kernel's grid-resident weights + K=1 block fit VMEM (large
+        # f32 configs fall back to the scan path instead of failing in
+        # Mosaic)
+        from percivaltts_tpu.ops.lstm_pallas import pallas_vmem_ok
+
         gates = 3 if self.cell_type == "gru" else 4
         return (
             jax.default_backend() == "tpu"
             and (gates * self.features) % 128 == 0
+            and pallas_vmem_ok(
+                B,
+                self.features,
+                _dtype(self.compute_dtype).itemsize,
+                self.cell_type,
+            )
         )
 
     @nn.compact
@@ -153,7 +164,7 @@ class BiLSTM(nn.Module):
             x = x.astype(dt)
             ws = [a.astype(dt) for a in
                   (wi_f, wh_f, b_f, bn_f, wi_b, wh_b, b_b, bn_b)]
-            if self._pick_pallas():
+            if self._pick_pallas(B):
                 return bigru_pallas(
                     x, *ws, interpret=self.pallas_interpret,
                     shard_mesh=self.shard_mesh,
@@ -166,7 +177,7 @@ class BiLSTM(nn.Module):
         wi_f, wh_f, b_f, wi_b, wh_b, b_b = (
             a.astype(dt) for a in (wi_f, wh_f, b_f, wi_b, wh_b, b_b)
         )
-        if self._pick_pallas():
+        if self._pick_pallas(B):
             return bilstm_pallas(
                 x, wi_f, wh_f, b_f, wi_b, wh_b, b_b,
                 interpret=self.pallas_interpret,

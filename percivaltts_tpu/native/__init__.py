@@ -25,13 +25,24 @@ def _build() -> bool:
     src = os.path.join(_NATIVE_DIR, "percival_native.cpp")
     if not os.path.exists(src):
         return False
+    # Serialize concurrent builders (multi-host training on a shared
+    # filesystem, parallel pytest workers): an flock around make prevents a
+    # process from dlopen-ing a half-written .so mid-rebuild.
+    lock_path = os.path.join(_NATIVE_DIR, ".build.lock")
     try:
-        subprocess.run(
-            ["make", "-C", _NATIVE_DIR, "-s"],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
+        import fcntl
+
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "-s"],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
         return os.path.exists(_LIB_PATH)
     except Exception:
         return False

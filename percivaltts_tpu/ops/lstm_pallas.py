@@ -49,22 +49,51 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-# VMEM budget for the pipelined time blocks (double-buffered by pallas);
-# leaves headroom under the 16 MB/core limit for weights, carries and the
-# dWh accumulators.
-_VMEM_BUDGET = 10 * 1024 * 1024
+# VMEM budget for everything resident during a grid step: the
+# double-buffered time blocks PLUS the full-grid-resident weight blocks and
+# the f32 carry scratch. Kept below the 16 MB/core limit with headroom for
+# Mosaic's own temporaries.
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _pick_block(T: int, B: int, H: int, itemsize: int, h_units: int) -> int:
-    """Largest time-block size (≤ 16) dividing T whose double-buffered
-    block footprint fits the VMEM budget. ``h_units``: total block bytes
-    per frame per batch row, in units of H·itemsize (12 for the forward
-    kernel: 2×4H in + 4×H out; 24 for the BPTT kernel)."""
+def _fixed_bytes(B: int, H: int, itemsize: int, w_units: int, s_carries: int) -> int:
+    """VMEM bytes resident across the whole grid: ``w_units``·H² of weights
+    at the compute itemsize plus ``s_carries`` (B, H) f32 carry scratch."""
+    return w_units * H * H * itemsize + s_carries * B * H * 4
+
+
+def _pick_block(
+    T: int, B: int, H: int, itemsize: int, h_units: int, fixed: int = 0
+) -> int:
+    """Largest time-block size (≤ 16) dividing T whose double-buffered block
+    footprint plus the grid-resident ``fixed`` bytes (weights, carry scratch)
+    fits the VMEM budget. ``h_units``: total block bytes per frame per batch
+    row, in units of H·itemsize (12 for the forward LSTM kernel: 2×4H in +
+    4×H out; 24 for its BPTT kernel). Raises when even K=1 does not fit —
+    callers gate on :func:`pallas_vmem_ok` to fall back to the scan path
+    instead of failing at Mosaic compile time."""
     per_k = h_units * H * B * itemsize * 2  # ×2: double buffering
     for k in (16, 8, 4, 2, 1):
-        if T % k == 0 and k * per_k <= _VMEM_BUDGET:
+        if T % k == 0 and k * per_k + fixed <= _VMEM_BUDGET:
             return k
-    return 1
+    raise ValueError(
+        f"pallas recurrent kernel does not fit VMEM: T={T} B={B} H={H} "
+        f"itemsize={itemsize} needs {per_k + fixed} bytes at K=1 "
+        f"(budget {_VMEM_BUDGET}); use the scan path (use_pallas=False)"
+    )
+
+
+def pallas_vmem_ok(B: int, H: int, itemsize: int, cell_type: str = "lstm") -> bool:
+    """True when the heaviest kernel for this cell (the BPTT pass) fits the
+    VMEM budget at the smallest block size. The ``use_pallas=None`` auto
+    heuristic calls this so oversized configs (e.g. f32 H≥512, whose weight
+    blocks alone approach the 16 MB core limit) silently keep the XLA scan
+    path instead of dying in the Mosaic compiler."""
+    if cell_type == "gru":
+        h_units, fixed = 18, _fixed_bytes(B, H, itemsize, 2 * 2 * 3, 2)
+    else:
+        h_units, fixed = 24, _fixed_bytes(B, H, itemsize, 2 * 2 * 4, 4)
+    return h_units * H * B * itemsize * 2 + fixed <= _VMEM_BUDGET
 
 
 def _gates(z, H):
@@ -146,7 +175,8 @@ def _bilstm_fwd_pallas(gx_f, gx_b, wh_f, wh_b, interpret=False):
     T, B, H4 = gx_f.shape
     H = H4 // 4
     dt = gx_f.dtype
-    K = _pick_block(T, B, H, gx_f.dtype.itemsize, 12)
+    K = _pick_block(T, B, H, gx_f.dtype.itemsize, 12,
+                    _fixed_bytes(B, H, gx_f.dtype.itemsize, 2 * 4, 4))
     G = T // K
 
     out_shapes = (
@@ -267,7 +297,8 @@ def _bilstm_bwd_pallas(gx_f, gx_b, wh_f, wh_b, hp_f, hp_b, cp_f, cp_b,
     H = H4 // 4
     dt = gx_f.dtype
     # in: gx 2×4H + hp/cp/c/dy 2×4×H; out: dgx 2×4H → 24 H-units per frame
-    K = _pick_block(T, B, H, gx_f.dtype.itemsize, 24)
+    K = _pick_block(T, B, H, gx_f.dtype.itemsize, 24,
+                    _fixed_bytes(B, H, gx_f.dtype.itemsize, 2 * 2 * 4, 4))
     G = T // K
 
     blk = lambda i: (G - 1 - i, 0, 0)   # fwd-direction BPTT: reversed
@@ -468,7 +499,8 @@ def _bigru_fwd_pallas(gx_f, gx_b, wh_f, wh_b, bn_f, bn_b, interpret=False):
     T, B, H3 = gx_f.shape
     H = H3 // 3
     dt = gx_f.dtype
-    K = _pick_block(T, B, H, gx_f.dtype.itemsize, 8)  # in 2×3H, out 2×H
+    K = _pick_block(T, B, H, gx_f.dtype.itemsize, 8,  # in 2×3H, out 2×H
+                    _fixed_bytes(B, H, gx_f.dtype.itemsize, 2 * 3, 2))
     G = T // K
 
     blk = lambda i: (i, 0, 0)
@@ -560,7 +592,8 @@ def _bigru_bwd_pallas(gx_f, gx_b, wh_f, wh_b, bn_f, bn_b,
     dt = gx_f.dtype
     # in: 2×3H (gx) + 2×H (hp) + 2×H (dy); out: 2×3H (dgx) + 2×H (dnr)
     # → 18H per frame
-    K = _pick_block(T, B, H, gx_f.dtype.itemsize, 18)
+    K = _pick_block(T, B, H, gx_f.dtype.itemsize, 18,
+                    _fixed_bytes(B, H, gx_f.dtype.itemsize, 2 * 2 * 3, 2))
     G = T // K
 
     blk = lambda i: (G - 1 - i, 0, 0)

@@ -24,9 +24,15 @@ class CheckpointManager:
     """Thin wrapper around an Orbax CheckpointManager for GANState pytrees."""
 
     def __init__(self, directory: str, keep: int = 3):
-        from orbax.checkpoint._src.checkpoint_managers import (
-            preservation_policy as pp,
-        )
+        # Orbax (0.11.x) exports no public preservation-policy module yet —
+        # this private path is the only way to express LatestN∪BestN. Try
+        # the public name first so an upgrade that promotes it keeps working.
+        try:
+            from orbax.checkpoint import preservation_policy as pp  # type: ignore
+        except ImportError:
+            from orbax.checkpoint._src.checkpoint_managers import (
+                preservation_policy as pp,
+            )
 
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)

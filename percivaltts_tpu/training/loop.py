@@ -33,7 +33,7 @@ from percivaltts_tpu.parallel.distributed import (
     replicate_state_global,
 )
 from percivaltts_tpu.training.checkpoints import CheckpointManager
-from percivaltts_tpu.training.lse import lse_eval_step, lse_step
+from percivaltts_tpu.training.lse import lse_step
 from percivaltts_tpu.training.state import GANState, make_gan_state
 from percivaltts_tpu.training.wgan import make_wgan_step
 from percivaltts_tpu.utils.logging import MetricsLogger, print_log

@@ -94,6 +94,49 @@ class Vocoder:
         return np.asarray(log_spec_to_cepstra(self.stream(feats, key), order))
 
 
+def chunked_synthesize_batch(feats_list, chunk, frame_multiple, hop, build, run):
+    """Shared pad/chunk/crop loop behind every vocoder's ``synthesize_batch``.
+
+    Splits ``feats_list`` into chunks of ``chunk`` utterances (the last chunk
+    padded by repeating its final item so the jitted core sees one static
+    batch shape), pads each chunk to its frame bound (a multiple of
+    ``frame_multiple``), runs one batched device call, and crops each
+    waveform back to its true length. ``build(batch, nf_pad)`` stacks a
+    chunk's features into the core's argument tuple; ``run(args)`` returns
+    the (chunk, nf_pad·hop) waveforms.
+    """
+    feats_list = [np.asarray(f, np.float32) for f in feats_list]
+    out: list = []
+    for c0 in range(0, len(feats_list), chunk):
+        batch = list(feats_list[c0 : c0 + chunk])
+        nfs = [f.shape[0] for f in batch]
+        real = len(batch)
+        while len(batch) < chunk:
+            batch.append(batch[-1])
+            nfs.append(nfs[-1])
+        nf_pad = -(-max(nfs) // frame_multiple) * frame_multiple
+        wavs = np.asarray(run(build(batch, nf_pad)))
+        out.extend(wavs[j, : nfs[j] * hop] for j in range(real))
+    return out
+
+
+def stacked_analyze_batch(wavs, frame_multiple, hop, run):
+    """Shared stack/pad/crop loop behind every vocoder's ``analyze_batch``:
+    zero-pad all waveforms to the batch's frame bound, run one vmapped
+    device call (``run(stack) -> (B, nf_pad, F)`` features), crop host-side.
+    Compile variants stay bounded by ``frame_multiple`` exactly like the
+    single-utterance paths."""
+    if not wavs:
+        return []
+    nfs = [int(np.ceil(len(w) / hop)) for w in wavs]
+    nf_pad = -(-max(nfs) // frame_multiple) * frame_multiple
+    stack = np.zeros((len(wavs), nf_pad * hop), np.float32)
+    for i, w in enumerate(wavs):
+        stack[i, : len(w)] = np.asarray(w, np.float32)
+    feats = np.asarray(run(stack))
+    return [feats[i, :n] for i, n in enumerate(nfs)]
+
+
 _REGISTRY: Dict[str, Type[Vocoder]] = {}
 
 

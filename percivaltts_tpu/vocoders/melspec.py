@@ -20,7 +20,11 @@ import numpy as np
 
 from percivaltts_tpu.ops.stft import hann_window, istft, stft
 from percivaltts_tpu.ops.warp import mel_pinv, mel_weights
-from percivaltts_tpu.vocoders.base import Vocoder, register
+from percivaltts_tpu.vocoders.base import (
+    Vocoder,
+    chunked_synthesize_batch,
+    register,
+)
 from percivaltts_tpu.vocoders.pml import FRAME_MULTIPLE
 
 
@@ -120,33 +124,26 @@ class MelSpecVocoder(Vocoder):
         (padded to the chunk's frame bound) — same batching contract as
         ``PMLVocoder.synthesize_batch``."""
         c = self.cfg
-        feats_list = [np.asarray(f, np.float32) for f in feats_list]
-        out: list = []
-        for c0 in range(0, len(feats_list), chunk):
-            batch = feats_list[c0 : c0 + chunk]
-            nfs = [f.shape[0] for f in batch]
-            real = len(batch)
-            while len(batch) < chunk:
-                batch.append(batch[-1])
-                nfs.append(nfs[-1])
-            nf_pad = -(-max(nfs) // FRAME_MULTIPLE) * FRAME_MULTIPLE
+
+        def build(batch, nf_pad):
             fp = np.full((chunk, nf_pad, c.mel_size), -18.0, np.float32)
             for j, f in enumerate(batch):
                 fp[j, : f.shape[0]] = f
-            wavs = np.asarray(
-                _mel_synthesize_vmapped(
-                    jnp.asarray(fp),
-                    fs=c.fs,
-                    hop=c.shift_samples,
-                    frame_len=c.frame_samples,
-                    dftlen=c.dftlen,
-                    mel_size=c.mel_size,
-                )
+            return (jnp.asarray(fp),)
+
+        def run(args):
+            return _mel_synthesize_vmapped(
+                *args,
+                fs=c.fs,
+                hop=c.shift_samples,
+                frame_len=c.frame_samples,
+                dftlen=c.dftlen,
+                mel_size=c.mel_size,
             )
-            out.extend(
-                wavs[j, : nfs[j] * c.shift_samples] for j in range(real)
-            )
-        return out
+
+        return chunked_synthesize_batch(
+            feats_list, chunk, FRAME_MULTIPLE, c.shift_samples, build, run
+        )
 
     def f0_vuv(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         raise NotImplementedError(

@@ -54,7 +54,12 @@ from percivaltts_tpu.ops.envelope import spectral_envelope
 from percivaltts_tpu.ops.f0 import estimate_f0
 from percivaltts_tpu.ops.stft import hann_window, istft, stft
 from percivaltts_tpu.ops.warp import unwarp_matrix, warp_matrix
-from percivaltts_tpu.vocoders.base import Vocoder, register
+from percivaltts_tpu.vocoders.base import (
+    Vocoder,
+    chunked_synthesize_batch,
+    register,
+    stacked_analyze_batch,
+)
 
 # Calibration of the stochastic component for the "cheaptrick"
 # (amplitude-convention) synthesis, fixing the analyze→synthesize→analyze
@@ -268,7 +273,6 @@ def pml_synthesize_core(
     n = nf * hop
     spec_size = spec_w.shape[-1]
     nm_size = nm_w.shape[-1]
-    bins = dftlen // 2 + 1
 
     f0 = jnp.clip(jnp.exp(lf0), f0_min, f0_max * 1.5)
     U_spec = jnp.asarray(unwarp_matrix(spec_size, dftlen, fs))
@@ -555,21 +559,18 @@ class PMLVocoder(Vocoder):
         every utterance draws the same noise sequence, exactly as repeated
         ``synthesize(f, seed=seed)`` calls would."""
         c = self.cfg
-        feats_list = [np.asarray(f, np.float32) for f in feats_list]
-        out: list = []
-        for c0 in range(0, len(feats_list), chunk):
-            batch = feats_list[c0 : c0 + chunk]
-            nfs = [f.shape[0] for f in batch]
-            real = len(batch)
-            while len(batch) < chunk:
-                batch.append(batch[-1])
-                nfs.append(nfs[-1])
-            nf_pad = -(-max(nfs) // FRAME_MULTIPLE) * FRAME_MULTIPLE
+
+        def build(batch, nf_pad):
             fp = np.stack([self._pad_feats(f, nf_pad) for f in batch])
-            wavs = _pml_synthesize_vmapped(
+            return (
                 jnp.asarray(fp[:, :, 0]),
                 jnp.asarray(fp[:, :, 1 : 1 + c.spec_size]),
                 jnp.asarray(fp[:, :, 1 + c.spec_size :]),
+            )
+
+        def run(args):
+            return _pml_synthesize_vmapped(
+                *args,
                 amp=(c.envelope == "cheaptrick"),
                 fs=c.fs,
                 hop=c.shift_samples,
@@ -579,43 +580,35 @@ class PMLVocoder(Vocoder):
                 f0_max=c.f0_max,
                 seed=seed,
             )
-            wavs = np.asarray(wavs)
-            out.extend(
-                wavs[j, : nfs[j] * c.shift_samples] for j in range(real)
-            )
-        return out
+
+        return chunked_synthesize_batch(
+            feats_list, chunk, FRAME_MULTIPLE, c.shift_samples, build, run
+        )
 
     def analyze_batch(self, wavs) -> list:
-        """One vmapped device call per chunk of utterances: all waveforms pad
-        to the chunk's frame bound, the jitted core maps over the batch, and
-        per-utterance frame counts crop host-side. Compile variants stay
-        bounded by FRAME_MULTIPLE exactly like ``analyze``."""
-        wavs = [self._check_wav(w) for w in wavs]
-        if not wavs:
-            return []
+        """One vmapped device call for the stacked chunk (see
+        ``base.stacked_analyze_batch``)."""
         c = self.cfg
-        hop = c.shift_samples
-        nfs = [int(np.ceil(len(w) / hop)) for w in wavs]
-        nf_pad = -(-max(nfs) // FRAME_MULTIPLE) * FRAME_MULTIPLE
-        stack = np.zeros((len(wavs), nf_pad * hop), np.float32)
-        for i, w in enumerate(wavs):
-            stack[i, : len(w)] = np.asarray(w, np.float32)
 
-        feats, _ = _pml_analyze_vmapped(
-            jnp.asarray(stack),
-            fs=c.fs,
-            hop=hop,
-            frame_len=c.frame_samples,
-            dftlen=c.dftlen,
-            spec_size=c.spec_size,
-            nm_size=c.nm_size,
-            f0_min=c.f0_min,
-            f0_max=c.f0_max,
-            envelope=c.envelope,
-            env_time_smooth=c.env_time_smooth,
+        def run(stack):
+            feats, _ = _pml_analyze_vmapped(
+                jnp.asarray(stack),
+                fs=c.fs,
+                hop=c.shift_samples,
+                frame_len=c.frame_samples,
+                dftlen=c.dftlen,
+                spec_size=c.spec_size,
+                nm_size=c.nm_size,
+                f0_min=c.f0_min,
+                f0_max=c.f0_max,
+                envelope=c.envelope,
+                env_time_smooth=c.env_time_smooth,
+            )
+            return feats
+
+        return stacked_analyze_batch(
+            [self._check_wav(w) for w in wavs], FRAME_MULTIPLE, c.shift_samples, run
         )
-        feats = np.asarray(feats)
-        return [feats[i, :n] for i, n in enumerate(nfs)]
 
     def f0_vuv(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """f0 from the lf0 stream; voicing from the low-band noise mask.

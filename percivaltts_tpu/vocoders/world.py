@@ -37,7 +37,12 @@ from percivaltts_tpu.ops.aperiodicity import erode5, harmonic_noise_mask
 from percivaltts_tpu.ops.cheaptrick import cheaptrick_envelope
 from percivaltts_tpu.ops.f0 import estimate_f0
 from percivaltts_tpu.ops.warp import warp_matrix
-from percivaltts_tpu.vocoders.base import Vocoder, register
+from percivaltts_tpu.vocoders.base import (
+    Vocoder,
+    chunked_synthesize_batch,
+    register,
+    stacked_analyze_batch,
+)
 from percivaltts_tpu.vocoders.pml import FRAME_MULTIPLE, pml_synthesize_amp_core
 
 
@@ -172,30 +177,26 @@ class WorldVocoder(Vocoder):
         return np.asarray(wav[: nf * c.shift_samples])
 
     def analyze_batch(self, wavs) -> list:
-        """One vmapped device call per chunk (same contract as PML's)."""
-        wavs = [self._check_wav(w) for w in wavs]
-        if not wavs:
-            return []
+        """One vmapped device call for the stacked chunk (see
+        ``base.stacked_analyze_batch``)."""
         c = self.cfg
-        hop = c.shift_samples
-        nfs = [int(np.ceil(len(w) / hop)) for w in wavs]
-        nf_pad = -(-max(nfs) // FRAME_MULTIPLE) * FRAME_MULTIPLE
-        stack = np.zeros((len(wavs), nf_pad * hop), np.float32)
-        for i, w in enumerate(wavs):
-            stack[i, : len(w)] = np.asarray(w, np.float32)
-        feats = _world_analyze_vmapped(
-            jnp.asarray(stack),
-            fs=c.fs,
-            hop=hop,
-            dftlen=c.dftlen,
-            spec_size=c.spec_size,
-            nm_size=c.nm_size,
-            f0_min=c.f0_min,
-            f0_max=c.f0_max,
-            env_time_smooth=c.env_time_smooth,
+
+        def run(stack):
+            return _world_analyze_vmapped(
+                jnp.asarray(stack),
+                fs=c.fs,
+                hop=c.shift_samples,
+                dftlen=c.dftlen,
+                spec_size=c.spec_size,
+                nm_size=c.nm_size,
+                f0_min=c.f0_min,
+                f0_max=c.f0_max,
+                env_time_smooth=c.env_time_smooth,
+            )
+
+        return stacked_analyze_batch(
+            [self._check_wav(w) for w in wavs], FRAME_MULTIPLE, c.shift_samples, run
         )
-        feats = np.asarray(feats)
-        return [feats[i, :n] for i, n in enumerate(nfs)]
 
     def synthesize_batch(self, feats_list, seed: int = 0, chunk: int = 4) -> list:
         """One vmapped synthesis call per chunk of utterances (same contract
@@ -203,16 +204,8 @@ class WorldVocoder(Vocoder):
         from percivaltts_tpu.vocoders.pml import _pml_synthesize_vmapped
 
         c = self.cfg
-        feats_list = [np.asarray(f, np.float32) for f in feats_list]
-        out: list = []
-        for c0 in range(0, len(feats_list), chunk):
-            batch = feats_list[c0 : c0 + chunk]
-            nfs = [f.shape[0] for f in batch]
-            real = len(batch)
-            while len(batch) < chunk:
-                batch.append(batch[-1])
-                nfs.append(nfs[-1])
-            nf_pad = -(-max(nfs) // FRAME_MULTIPLE) * FRAME_MULTIPLE
+
+        def build(batch, nf_pad):
             lf0 = np.full((chunk, nf_pad), np.log(100.0), np.float32)
             spec = np.full((chunk, nf_pad, c.spec_size), -18.0, np.float32)
             bap = np.ones((chunk, nf_pad, c.nm_size), np.float32)
@@ -223,25 +216,24 @@ class WorldVocoder(Vocoder):
                 b = f[:, 2 + c.spec_size :].copy()
                 b[f[:, 1] < 0.5] = 1.0  # voicing gates the harmonic bank
                 bap[j, :n] = b
-            wavs = np.asarray(
-                _pml_synthesize_vmapped(
-                    jnp.asarray(lf0),
-                    jnp.asarray(spec),
-                    jnp.asarray(bap),
-                    amp=True,
-                    fs=c.fs,
-                    hop=c.shift_samples,
-                    frame_len=c.frame_samples,
-                    dftlen=c.dftlen,
-                    f0_min=c.f0_min,
-                    f0_max=c.f0_max,
-                    seed=seed,
-                )
+            return jnp.asarray(lf0), jnp.asarray(spec), jnp.asarray(bap)
+
+        def run(args):
+            return _pml_synthesize_vmapped(
+                *args,
+                amp=True,
+                fs=c.fs,
+                hop=c.shift_samples,
+                frame_len=c.frame_samples,
+                dftlen=c.dftlen,
+                f0_min=c.f0_min,
+                f0_max=c.f0_max,
+                seed=seed,
             )
-            out.extend(
-                wavs[j, : nfs[j] * c.shift_samples] for j in range(real)
-            )
-        return out
+
+        return chunked_synthesize_batch(
+            feats_list, chunk, FRAME_MULTIPLE, c.shift_samples, build, run
+        )
 
     def f0_vuv(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         return np.exp(feats[..., 0]), (feats[..., 1] > 0.5).astype(np.float32)
