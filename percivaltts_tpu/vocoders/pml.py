@@ -71,6 +71,18 @@ from percivaltts_tpu.vocoders.base import (
 # noise-mask roundtrip ≈ neutral — tests/test_vocoder_pml.py).
 NOISE_CAL = 0.97
 
+# Minimum voiced-to-unvoiced low-band level gap (nats) for the
+# window-power-fraction placement of the rendered attack/release (see
+# pml_synthesize_amp_core); below it the edge falls back to a 1-frame
+# erosion of the voicing bit (the best fixed-offset setting, measured on
+# scripts/boundary_diag.py).
+GATE_MIN_GAP = 1.5
+
+# Voiced-run edge frames whose harmonic amplitudes/phases are replaced by
+# the nearest interior frame's values before rendering (de-smearing the
+# attack — see pml_synthesize_amp_core).
+EDGE_BACKFILL = 2
+
 # utterances are padded to a multiple of this many frames before the jitted
 # cores run (bounded compile-variant count)
 FRAME_MULTIPLE = 128
@@ -181,11 +193,15 @@ def pml_analyze_core(
     if envelope == "cheaptrick":
         nm_raw = _harmonic_noise_mask(wav, f0, fs, hop, nm_size, min(f0_min, 60.0))
         nm = _erode5(nm_raw)
-        # gate on the PRE-erosion noisiness: erosion exists to remove
-        # voiced-edge spikes, but it also drags boundary noise frames'
-        # noisiness down, which would disable smoothing exactly where the
-        # estimator variance is worst
-        spec_w = _smooth_noiselike(spec_w, nm_raw.mean(axis=-1))
+        # gate on the ERODED noisiness: the raw aperiodicity spikes on
+        # voiced attack/release frames (its 4·T0 window straddles the edge
+        # and reads the transient as noise), and a spiky gate mixes
+        # silence-level spectra into the attack frame's envelope — an
+        # unreproducible suppression measured as 1–2 nats of low-band error
+        # on the first voiced frames (scripts/edge_deepdive.py). Erosion
+        # costs the 1–2 unvoiced frames nearest each edge their smoothing;
+        # the attack frames' integrity is worth more.
+        spec_w = _smooth_noiselike(spec_w, _erode5(nm_raw.mean(axis=-1)))
     else:
         # round-1 estimator: per-band harmonicity r(τ0)/r(0) from the power
         # spectrum as band-weighted sums, bias-corrected by the window
@@ -399,9 +415,129 @@ def pml_synthesize_amp_core(
     f0_s = f0[i0] * (1.0 - w1) + f0[i0 + 1] * w1
     phase = 2.0 * jnp.pi * jnp.cumsum(f0_s) / fs  # (n,)
 
-    amp_s = amp_f[i0] * (1.0 - w1)[:, None] + amp_f[i0 + 1] * w1[:, None]
-    phi_s = phi_f[i0] * (1.0 - w1)[:, None] + phi_f[i0 + 1] * w1[:, None]
-    harm = jnp.sum(amp_s * jnp.cos(phase[:, None] * k[None, :] + phi_s), axis=-1)
+    # Voicing-gated harmonic bank with de-smeared attacks. The analysis
+    # window (~3·T0) smears each voicing attack/release across ±2 frames of
+    # envelope estimates; rendering those smeared amplitudes as the actual
+    # amplitude ramp makes the re-analysis smear them AGAIN (feats2 ≈
+    # S²(orig) instead of S(orig)). Instead: (1) backfill the first/last
+    # EDGE_BACKFILL frames of each voiced run with the nearest interior
+    # ("clean") frame's amplitude/phase, (2) hold through the first unvoiced
+    # frame on each side, and (3) let a per-sample voicing gate place a
+    # step-like attack at the boundary — the re-analysis then smears the
+    # step exactly once, the same way it smeared the original's own attack.
+    vmask = (voiced_f > 0.5)[:, None]
+    prev_v = jnp.concatenate([vmask[:1], vmask[:-1]])
+    next_v = jnp.concatenate([vmask[1:], vmask[-1:]])
+
+    def hold1(x):
+        prev = jnp.concatenate([x[:1], x[:-1]])
+        nxt = jnp.concatenate([x[1:], x[-1:]])
+        fill = jnp.where(prev_v, prev, jnp.where(next_v, nxt, x))
+        return jnp.where(vmask, x, fill)
+
+    def backfill(x):
+        clean = vmask
+        for _ in range(EDGE_BACKFILL):
+            p = jnp.concatenate([clean[:1], clean[:-1]])
+            q = jnp.concatenate([clean[1:], clean[-1:]])
+            clean = clean & p & q
+        filled, cm = x, clean
+        for _ in range(EDGE_BACKFILL):
+            pv = jnp.concatenate([cm[:1], cm[:-1]])
+            nv = jnp.concatenate([cm[1:], cm[-1:]])
+            prev = jnp.concatenate([filled[:1], filled[:-1]])
+            nxt = jnp.concatenate([filled[1:], filled[-1:]])
+            filled = jnp.where(
+                cm, filled, jnp.where(pv, prev, jnp.where(nv, nxt, filled))
+            )
+            cm = cm | pv | nv
+        # runs shorter than 2·EDGE_BACKFILL+1 have no clean interior: keep
+        # the measured values there
+        return jnp.where(vmask & cm, filled, x)
+
+    amp_h = hold1(backfill(amp_f))
+    phi_h = hold1(backfill(phi_f))
+    amp_s = amp_h[i0] * (1.0 - w1)[:, None] + amp_h[i0 + 1] * w1[:, None]
+    phi_s = phi_h[i0] * (1.0 - w1)[:, None] + phi_h[i0 + 1] * w1[:, None]
+
+    # Window-power-fraction gate position. The YIN flip leads/lags the true
+    # attack by a variable 1–3 frames, but the envelope's own low-band
+    # energy track E records where it actually happened: for a step attack,
+    # E(t) ≈ E_plateau + ½·log w(t−p), with w the fraction of the analysis
+    # window's power past the step. Inverting, w = exp(2·(E − E_plateau))
+    # crosses ½ exactly when the (symmetric) window is centered on the step
+    # — so the rendered attack/release sits at the w = ½ crossing,
+    # independent of the voiced/unvoiced level gap. (A normalized-rise
+    # crossing in LOG domain is biased ~1.5 frames toward the unvoiced side
+    # and gap-dependent — measured on scripts/boundary_diag.py.)
+    lowb = max(int(1500.0 * dftlen / fs), 8)
+    E = jnp.mean(logA[:, :lowb], axis=-1, keepdims=True)  # (nf, 1)
+
+    def interior_fill(mask, depth):
+        """Nearest-interior fill of E: interior = frames ≥``depth`` inside
+        ``mask`` runs. Returns (filled E, reached?) after 8 dilation steps."""
+        clean = mask
+        for _ in range(depth):
+            p = jnp.concatenate([clean[:1], clean[:-1]])
+            q = jnp.concatenate([clean[1:], clean[-1:]])
+            clean = clean & p & q
+        filled, cm = E, clean
+        for _ in range(8):
+            pv = jnp.concatenate([cm[:1], cm[:-1]])
+            nv = jnp.concatenate([cm[1:], cm[-1:]])
+            prev = jnp.concatenate([filled[:1], filled[:-1]])
+            nxt = jnp.concatenate([filled[1:], filled[-1:]])
+            filled = jnp.where(
+                cm, filled, jnp.where(pv, prev, jnp.where(nv, nxt, filled))
+            )
+            cm = cm | pv | nv
+        return filled, cm
+
+    # voiced-side smear spans ~±2.5 frames (window half-width ~1.7 plus the
+    # ±1 triangular time smoothing), so the voiced plateau needs a 4-deep
+    # interior; the unvoiced side's ~6 ms window needs only 2
+    Ev, rv = interior_fill(vmask, 4)
+    Eu, ru = interior_fill(~vmask, 2)
+    ok = rv & ru & ((Ev - Eu) > GATE_MIN_GAP)
+    w_frac = jnp.clip(jnp.exp(2.0 * (E - Ev)), 0.0, 1.0)
+    # fallback where the plateaus can't be localized (tiny low-band gap or
+    # run too short): the voicing bit eroded by one frame on each side (the
+    # best fixed-offset placement, measured)
+    v_er = jnp.minimum(
+        vmask.astype(jnp.float32),
+        jnp.minimum(
+            jnp.concatenate([vmask[:1], vmask[:-1]]).astype(jnp.float32),
+            jnp.concatenate([vmask[1:], vmask[-1:]]).astype(jnp.float32),
+        ),
+    )
+    w_fin = jnp.where(ok, w_frac, v_er)[:, 0]  # (nf,)
+    w_s = w_fin[i0] * (1.0 - w1) + w_fin[i0 + 1] * w1
+    step = (w_s > 0.62).astype(jnp.float32)
+    # mask to within one frame of the voiced region so plateau noise in w
+    # far from any boundary cannot leak harmonics
+    v_dil = jnp.maximum(
+        voiced_f,
+        jnp.maximum(
+            jnp.concatenate([voiced_f[:1], voiced_f[:-1]]),
+            jnp.concatenate([voiced_f[1:], voiced_f[-1:]]),
+        ),
+    )
+    m_s = v_dil[i0] * (1.0 - w1) + v_dil[i0 + 1] * w1
+    step = step * jnp.clip(2.0 * m_s, 0.0, 1.0)
+    # triangular ~5 ms ramp (two box filters) centered on the crossing: the
+    # corpus's own attacks are ~5 ms crossfades; rendering a sharper cliff
+    # splatters broadband energy that the re-analysis reads as aperiodicity
+    if n > 0:
+        R = max(hop // 2, 2)
+        c = jnp.cumsum(jnp.pad(step, (R, R), mode="edge"))
+        box = (c[R + R :] - c[: -R - R]) / (2 * R)
+        c2 = jnp.cumsum(jnp.pad(box, (R // 2, R // 2), mode="edge"))
+        gate_s = (c2[R // 2 + R // 2 :] - c2[: -R // 2 - R // 2]) / (2 * (R // 2))
+    else:
+        gate_s = step
+    harm = gate_s * jnp.sum(
+        amp_s * jnp.cos(phase[:, None] * k[None, :] + phi_s), axis=-1
+    )
 
     # ---- stochastic part -------------------------------------------------- #
     # per-band noise std from the envelope amplitude under the analyzer's
