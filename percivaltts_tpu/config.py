@@ -36,11 +36,13 @@ class VocoderConfig:
     nm_size: int = 33  # warped noise-mask / aperiodicity dim
     f0_min: float = 60.0
     f0_max: float = 400.0
-    # spectral-envelope estimator: "cheaptrick" (f0-adaptive, amplitude
-    # convention — the copy-synthesis-accurate default) or "te"
-    # (true-envelope over a fixed window, STFT-magnitude convention — the
-    # round-1 estimator, kept for regression comparison)
-    envelope: str = "cheaptrick"
+    # spectral-envelope estimator: "harmonic" (phase-insensitive peak/valley
+    # harmonic envelope on voiced frames + 500 Hz CheapTrick on unvoiced —
+    # the copy-synthesis-accurate default), "cheaptrick" (published
+    # CheapTrick algorithm everywhere, f0-adaptive, amplitude convention),
+    # or "te" (true-envelope over a fixed window, STFT-magnitude
+    # convention — the round-1 estimator, kept for regression comparison)
+    envelope: str = "harmonic"
     # radius (frames) of triangular time-smoothing of the power spectrum
     # before envelope estimation; cuts estimator variance on noise regions
     env_time_smooth: int = 1

@@ -57,18 +57,16 @@ def erode5(x: jax.Array) -> jax.Array:
     return out
 
 
-def harmonic_noise_mask(
-    wav: jax.Array,
-    f0: jax.Array,
-    fs: int,
-    hop: int,
-    num_bands: int,
-    f0_floor: float,
-) -> jax.Array:
-    """Per-harmonic noise fraction mapped to warped bands, (frames, bands).
+def _peaks_valleys(wav, f0, fs, hop, f0_floor, time_smooth=0, vuv=None):
+    """Shared 4·T0-window peak/valley measurement.
 
-    0 = fully deterministic/harmonic band, 1 = fully noise. See module
-    docstring for the estimator design."""
+    Returns (peak, valley, k, f0c): per-harmonic power at k·f0 and the mean
+    of the two adjacent inter-harmonic valleys, (nf, K) each, from one
+    f0-adaptive windowed power spectrum normalized by Σw² (so stationary
+    white noise of per-sample variance σ² reads ``valley ≈ σ²·fs/dftlen``
+    per unit bin... i.e. the bin-PSD). The 4·T0 Hann window places exact
+    nulls at (k ± ½)·f0, making the peaks PHASE-INSENSITIVE — adjacent
+    mainlobes do not overlap — and the valleys clean noise estimates."""
     Lnm = int(math.ceil(4.0 * fs / f0_floor))
     fftnm = 1 << (Lnm - 1).bit_length()
     f0c = jnp.clip(f0, f0_floor, fs / 8.0)
@@ -84,16 +82,41 @@ def harmonic_noise_mask(
     wsum2 = jnp.maximum(jnp.sum(w4 * w4, axis=-1), 1e-12)
     X4 = jnp.fft.rfft(frames4 * w4, n=fftnm, axis=-1)
     P4 = (X4.real * X4.real + X4.imag * X4.imag) / wsum2[:, None]
+    if time_smooth:
+        from percivaltts_tpu.ops.cheaptrick import _time_smooth
+
+        P4 = _time_smooth(P4, time_smooth, vuv=vuv)
 
     K = int(fs / 2.0 / f0_floor)
     k = jnp.arange(1, K + 1, dtype=jnp.float32)
     f0bins = f0c * fftnm / fs  # (nf,)
     kpos = f0bins[:, None] * k[None, :]  # (nf, K)
     peak = lerp_cols(P4, kpos)
+    # valley: ONLY the exact (k ± ½)·f0 nulls are clean — the harmonic's
+    # mainlobe extends to ±0.5·f0 and the first sidelobe peaks near
+    # ±0.62·f0, so averaging a segment around the null mixes in
+    # phase-dependent harmonic leakage (measured +3 dB on the stationary
+    # roundtrip, scripts/dyn_diag.py)
     valley = 0.5 * (
         lerp_cols(P4, kpos - 0.5 * f0bins[:, None])
         + lerp_cols(P4, kpos + 0.5 * f0bins[:, None])
     )
+    return peak, valley, k, f0c
+
+
+def harmonic_noise_mask(
+    wav: jax.Array,
+    f0: jax.Array,
+    fs: int,
+    hop: int,
+    num_bands: int,
+    f0_floor: float,
+) -> jax.Array:
+    """Per-harmonic noise fraction mapped to warped bands, (frames, bands).
+
+    0 = fully deterministic/harmonic band, 1 = fully noise. See module
+    docstring for the estimator design."""
+    peak, valley, k, f0c = _peaks_valleys(wav, f0, fs, hop, f0_floor)
     harmpow = jnp.maximum(peak - valley, 0.0)
     nm_k = valley / jnp.maximum(valley + NM_RHO * harmpow, 1e-20)
     # harmonics at/above Nyquist carry no deterministic content
@@ -102,3 +125,77 @@ def harmonic_noise_mask(
     centers = jnp.asarray(_band_centers_hz(num_bands, fs), jnp.float32)
     hpos = centers[None, :] / f0c[:, None] - 1.0  # harmonic-index space
     return jnp.clip(lerp_cols(nm_k, hpos), 0.0, 1.0)
+
+
+# Peak-power → harmonic-amplitude² calibration of the 4·T0 Hann window for
+# harmonic_envelope: analytically a²·(Σw)²/(4·Σw²) = a²·(2/3)·(4·fs/f0)/4,
+# i.e. a² = peak·(3/2)·f0/fs; the measured constant absorbs the ~2–3%
+# power-lerp loss at fractional-bin peaks (tests/test_cheaptrick.py).
+ENV_PK = 1.5
+
+# Valley-power → equivalent-amplitude² conversion: stationary noise of
+# per-sample std σ must read the SAME convention as ops.cheaptrick
+# (log(σ·√(f0·CAL·dftlen/fs))), so synthesis inverts one formula for both
+# estimators. valley ≈ σ²·(bin PSD), so A_eq² = valley·f0·CAL·dftlen/fs.
+
+
+def harmonic_envelope(
+    wav: jax.Array,
+    f0: jax.Array,
+    fs: int,
+    hop: int,
+    dftlen: int,
+    f0_floor: float,
+    time_smooth: int = 0,
+    vuv=None,
+) -> jax.Array:
+    """Phase-insensitive log-amplitude envelope from harmonic peaks/valleys,
+    (frames, dftlen//2+1), in ops.cheaptrick's amplitude convention.
+
+    CheapTrick's 3·T0 window overlaps adjacent harmonics' mainlobe skirts,
+    so its smoothed envelope depends on the harmonics' relative PHASES —
+    copy-synthesis re-renders with minimum phase, and the two analyses'
+    interference patterns differ by 0.1–0.2 nats even on a stationary vowel
+    (measured: scripts/dyn_diag.py). The 4·T0 window's peaks are clean, so
+    the per-harmonic total content a_k² + noise_eq² roundtrips exactly:
+    synthesis re-renders a_k at k·f0 and the re-analysis reads it back at a
+    clean peak. Between harmonics the log-envelope is interpolated in
+    harmonic-index space; below h1 and above the last sub-Nyquist harmonic
+    the envelope holds (replacing the sub-f0 mirror + Nyquist-hold
+    machinery of ops.cheaptrick for this estimator).
+    """
+    from percivaltts_tpu.ops.cheaptrick import CAL
+
+    peak, valley, k, f0c = _peaks_valleys(
+        wav, f0, fs, hop, f0_floor, time_smooth=time_smooth, vuv=vuv
+    )
+    # extra time smoothing on the VALLEYS only: the noise-level estimate is
+    # 2 draws per harmonic and its variance spreads coherently over
+    # neighboring bands (low-quefrency error, fully counted by MCD); noise
+    # levels move slowly so ±3 frames is safe where harmonic peaks aren't
+    from percivaltts_tpu.ops.cheaptrick import _time_smooth
+
+    valley_sm = _time_smooth(valley, 3, vuv=vuv)
+    a2 = jnp.maximum(peak - valley, 0.0) * ENV_PK * (f0c / fs)[:, None]
+    n2 = valley_sm * (f0c * CAL * dftlen / fs)[:, None]
+    A2 = jnp.maximum(a2 + n2, 1e-20)
+    # harmonics at/above Nyquist: hold the last valid harmonic's level
+    valid = (k[None, :] + 0.5) * f0c[:, None] < fs / 2.0
+    logA_k = 0.5 * jnp.log(A2)
+    # forward-fill invalid tail with the last valid value
+    K = logA_k.shape[1]
+
+    def ffill(carry, x):
+        v, m = x
+        out = jnp.where(m, v, carry)
+        return out, out
+
+    _, filled_T = jax.lax.scan(
+        ffill, logA_k[:, 0], (logA_k.T, valid.T)
+    )
+    logA_k = filled_T.T
+
+    bins = dftlen // 2 + 1
+    freqs = jnp.arange(bins, dtype=jnp.float32) * fs / dftlen
+    hpos = freqs[None, :] / f0c[:, None] - 1.0  # harmonic-index space
+    return lerp_cols(logA_k, hpos)  # clamped: holds h1 below f0

@@ -60,10 +60,16 @@ _EDGE_PAD = 48
 
 def lerp_gather(values: jax.Array, pos: jax.Array) -> jax.Array:
     """Batched linear interpolation: values (nf, n), pos (nf, m) fractional
-    indices (clamped) → (nf, m)."""
+    indices (clamped) → (nf, m).
+
+    The base index is clamped as an INTEGER to n − 2: clamping the float
+    position to n − 1 − ε is not enough — for n ≥ ~1025 the f32 value
+    rounds back up to n − 1, making i0 + 1 out of bounds, which
+    take_along_axis fills with NaN (measured: NaN envelopes on any config
+    whose gather positions exceed the table length)."""
     n = values.shape[-1]
-    p = jnp.clip(pos, 0.0, n - 1.000001)
-    i0 = jnp.floor(p).astype(jnp.int32)
+    p = jnp.clip(pos, 0.0, float(n - 1))
+    i0 = jnp.minimum(jnp.floor(p).astype(jnp.int32), n - 2)
     fr = p - i0.astype(values.dtype)
     lo = jnp.take_along_axis(values, i0, axis=-1)
     hi = jnp.take_along_axis(values, i0 + 1, axis=-1)

@@ -42,6 +42,7 @@ import numpy as np
 
 from percivaltts_tpu.ops.aperiodicity import (
     erode5 as _erode5,
+    harmonic_envelope as _harmonic_envelope,
     harmonic_noise_mask as _harmonic_noise_mask,
 )
 from percivaltts_tpu.ops.cheaptrick import (
@@ -94,12 +95,17 @@ def _smooth_noiselike(
 
     Noise spectra carry irreducible per-frame envelope-estimator variance;
     averaging across neighboring noise-like frames cuts it. The gate is the
-    frame's *continuous* noisiness (mean raw noise mask, soft-thresholded)
-    rather than the binary voicing decision: a continuous gate roundtrips
-    through copy-synthesis within ~0.1, while a voicing-bit gate made every
-    boundary flip apply heavy smoothing on one side only (measured ~50 dB
-    per-frame MCD on flipped frames)."""
-    s = jnp.clip((noisiness - 0.45) / 0.35, 0.0, 1.0)[:, None]  # (nf, 1)
+    *continuous* noisiness (soft-thresholded noise-mask values) rather than
+    the binary voicing decision: a continuous gate roundtrips through
+    copy-synthesis within ~0.1, while a voicing-bit gate made every boundary
+    flip apply heavy smoothing on one side only (measured ~50 dB per-frame
+    MCD on flipped frames). ``noisiness`` is either (nf,) per-frame or
+    (nf, bands) per-band — per-band gating also smooths the noisy HIGH
+    bands of voiced frames, whose valley-readback variance dominates the
+    stationary-vowel roundtrip floor above ~3 kHz."""
+    if noisiness.ndim == 1:
+        noisiness = noisiness[:, None]
+    s = jnp.clip((noisiness - 0.45) / 0.35, 0.0, 1.0)  # (nf, 1|bands)
     nf = x.shape[0]
     num = x * s
     den = s
@@ -155,7 +161,7 @@ def pml_analyze_core(
     window = hann_window(frame_len)
     spec = stft(wav, frame_len, hop, dftlen, window)  # (nf, bins)
     mag = jnp.abs(spec)
-    if envelope == "cheaptrick":
+    if envelope in ("cheaptrick", "harmonic"):
         # Voiced frames key the envelope convention (window length,
         # smoothing width, amplitude normalization) on the continuous f0
         # track (roundtrips at ~0.1%); unvoiced frames use WORLD's 500 Hz
@@ -166,10 +172,20 @@ def pml_analyze_core(
         # convention and voicing-partitioned time smoothing either way).
         # Synthesis inverts the same convention per frame (see
         # pml_synthesize_amp_core's sigma).
+        #
+        # "harmonic" (default) replaces the voiced-frame CheapTrick chain
+        # with the phase-insensitive peak/valley harmonic envelope
+        # (ops.aperiodicity.harmonic_envelope): CheapTrick's 3·T0 window
+        # makes adjacent harmonics' mainlobe skirts interfere, so its
+        # envelope depends on the harmonics' relative phases — which
+        # copy-synthesis replaces with minimum phase (a measured
+        # 0.1–0.2 nat per-band floor even on stationary vowels,
+        # scripts/dyn_diag.py). Unvoiced frames keep the 500 Hz CheapTrick
+        # path either way (peaks/valleys don't exist in noise).
         f0_env = jnp.where(vuv > 0.5, f0, DEFAULT_UNVOICED_F0)
         env = cheaptrick_envelope(
             wav,
-            f0_env,
+            f0_env if envelope == "cheaptrick" else jnp.full_like(f0, DEFAULT_UNVOICED_F0),
             fs,
             hop,
             dftlen,
@@ -177,6 +193,18 @@ def pml_analyze_core(
             time_smooth=env_time_smooth,
             mirror_mask=vuv,
         )
+        if envelope == "harmonic":
+            env_v = _harmonic_envelope(
+                wav,
+                f0,
+                fs,
+                hop,
+                dftlen,
+                f0_floor=min(f0_min, 60.0),
+                time_smooth=env_time_smooth,
+                vuv=vuv,
+            )
+            env = jnp.where(vuv[:, None] > 0.5, env_v, env)
     else:
         logmag = jnp.log(jnp.maximum(mag, 1e-8))
         # True envelope everywhere. Gating TE by voicing (plain smoothing on
@@ -190,7 +218,7 @@ def pml_analyze_core(
     W_spec = jnp.asarray(warp_matrix(spec_size, dftlen, fs))
     spec_w = env @ W_spec  # (nf, spec_size)
 
-    if envelope == "cheaptrick":
+    if envelope in ("cheaptrick", "harmonic"):
         nm_raw = _harmonic_noise_mask(wav, f0, fs, hop, nm_size, min(f0_min, 60.0))
         nm = _erode5(nm_raw)
         # gate on the ERODED noisiness: the raw aperiodicity spikes on
@@ -200,8 +228,28 @@ def pml_analyze_core(
         # unreproducible suppression measured as 1–2 nats of low-band error
         # on the first voiced frames (scripts/edge_deepdive.py). Erosion
         # costs the 1–2 unvoiced frames nearest each edge their smoothing;
-        # the attack frames' integrity is worth more.
-        spec_w = _smooth_noiselike(spec_w, _erode5(nm_raw.mean(axis=-1)))
+        # the attack frames' integrity is worth more. The gate is PER BAND
+        # (nm interpolated to the spec bands — both mel-uniform): voiced
+        # frames' noisy high bands need the smoothing as much as unvoiced
+        # frames do.
+        ji = np.arange(spec_size) * (nm_size - 1) / max(spec_size - 1, 1)
+        j0 = np.clip(ji.astype(np.int32), 0, nm_size - 2)
+        M = np.zeros((nm_size, spec_size), np.float32)
+        M[j0, np.arange(spec_size)] = 1.0 - (ji - j0)
+        M[j0 + 1, np.arange(spec_size)] += ji - j0
+        nm_spec = nm_raw @ jnp.asarray(M)  # (nf, spec_size)
+        # 5-band box smoothing of the per-band gate, then max with the
+        # per-frame scalar gate: the raw per-band gate carries the nm
+        # estimator's own variance, and a gate that differs between the two
+        # analyses adds (x − smoothed)·Δgate of error — measured +0.05 nats
+        # on far unvoiced frames vs the stable scalar gate
+        pad = jnp.concatenate(
+            [nm_spec[:, :1], nm_spec[:, :1], nm_spec, nm_spec[:, -1:], nm_spec[:, -1:]],
+            axis=-1,
+        )
+        nm_band = sum(pad[:, i : i + spec_size] for i in range(5)) / 5.0
+        gate = jnp.maximum(nm_band, nm_raw.mean(axis=-1, keepdims=True))
+        spec_w = _smooth_noiselike(spec_w, _erode5(gate))
     else:
         # round-1 estimator: per-band harmonicity r(τ0)/r(0) from the power
         # spectrum as band-weighted sums, bias-corrected by the window
@@ -671,7 +719,7 @@ class PMLVocoder(Vocoder):
         fp = self._pad_feats(feats, nf_pad)
         core = (
             pml_synthesize_amp_core
-            if c.envelope == "cheaptrick"
+            if c.envelope in ("cheaptrick", "harmonic")
             else pml_synthesize_core
         )
         wav = core(
@@ -707,7 +755,7 @@ class PMLVocoder(Vocoder):
         def run(args):
             return _pml_synthesize_vmapped(
                 *args,
-                amp=(c.envelope == "cheaptrick"),
+                amp=(c.envelope in ("cheaptrick", "harmonic")),
                 fs=c.fs,
                 hop=c.shift_samples,
                 frame_len=c.frame_samples,

@@ -149,3 +149,83 @@ def test_wide_dynamic_range_no_collapse():
     # far above a float32-cancellation collapse (which read ≈ −23)
     level = np.median(core[:, bins_7k])
     assert level > -12.0, level
+
+
+@pytest.mark.parametrize("f0v", [90.0, 140.0, 220.0, 330.0])
+def test_harmonic_envelope_calibration(f0v):
+    """The peak/valley harmonic envelope reads each harmonic's log amplitude
+    f0-independently (pins ENV_PK), with a tighter gate than CheapTrick:
+    its 4·T0 peaks are phase-insensitive (measured ±0.02 nats)."""
+    from percivaltts_tpu.ops.aperiodicity import harmonic_envelope
+    from percivaltts_tpu.ops.stft import num_frames
+    import math
+
+    K = int(FS / 2 / f0v) - 1
+    amps = np.array([1.0 / (1.0 + (k * f0v / 900.0) ** 2) for k in range(1, K + 1)])
+    x = _harmonic(f0v, amps)
+    Lnm = int(math.ceil(4.0 * FS / 60.0))
+    nf = num_frames(len(x), Lnm, HOP)
+    env = np.asarray(
+        harmonic_envelope(
+            jnp.asarray(x),
+            jnp.asarray(np.full(nf, f0v, np.float32)),
+            FS,
+            HOP,
+            DFTLEN,
+            60.0,
+        )
+    )
+    core = slice(nf // 4, 3 * nf // 4)
+    errs = []
+    for k, a in zip(range(1, K + 1), amps):
+        if k * f0v > FS / 2 * 0.9:
+            break
+        bp = k * f0v * DFTLEN / FS
+        b0, fr = int(bp), bp - int(bp)
+        errs.append(
+            np.median(env[core, b0] * (1 - fr) + env[core, b0 + 1] * fr) - np.log(a)
+        )
+    assert abs(np.median(errs)) < 0.03, np.median(errs)
+    assert np.abs(errs).max() < 0.06, np.abs(errs).max()
+
+
+def test_harmonic_envelope_noise_convention():
+    """Stationary noise reads the SAME amplitude convention as
+    ops.cheaptrick (log(σ·sqrt(f0·CAL·dftlen/fs))), so one synthesis
+    inversion serves both estimators."""
+    from percivaltts_tpu.ops.aperiodicity import harmonic_envelope
+    from percivaltts_tpu.ops.stft import num_frames
+    import math
+
+    rng = np.random.default_rng(1)
+    sig = 0.1
+    x = (rng.normal(size=FS) * sig).astype(np.float32)
+    Lnm = int(math.ceil(4.0 * FS / 60.0))
+    nf = num_frames(len(x), Lnm, HOP)
+    for f0a in (140.0, 500.0):
+        env = np.asarray(
+            harmonic_envelope(
+                jnp.asarray(x),
+                jnp.asarray(np.full(nf, f0a, np.float32)),
+                FS,
+                HOP,
+                DFTLEN,
+                60.0,
+            )
+        )
+        pred = np.log(sig) + 0.5 * np.log(f0a * CAL * DFTLEN / FS)
+        mid = np.median(env[nf // 4 : 3 * nf // 4, 80:400])
+        assert abs(mid - pred) < 0.1, (f0a, mid, pred)
+
+
+def test_lerp_gather_out_of_range_positions():
+    """Positions past the table end must clamp, not NaN: float32 clamping to
+    n−1−ε rounds back to n−1 for n ≥ ~1025 and take_along_axis fills NaN
+    (the bug behind NaN envelopes on high-harmonic configs)."""
+    from percivaltts_tpu.ops.cheaptrick import lerp_gather
+
+    vals = jnp.asarray(np.arange(1025, dtype=np.float32))[None, :]
+    pos = jnp.asarray(np.array([[1024.0, 1024.5, 3000.0, -5.0]], np.float32))
+    out = np.asarray(lerp_gather(vals, pos))
+    assert np.isfinite(out).all(), out
+    np.testing.assert_allclose(out, [[1024.0, 1024.0, 1024.0, 0.0]])
