@@ -79,8 +79,11 @@ def generate(
         ceps.extend(voc.cepstra(stack))
 
     mcds, f0rs, vuvs = [], [], []
+    cep_p_all, cep_r_all = [], []
     for i, n in enumerate(ns):
         mcds.append(float(np.mean(per_frame_mcd_np(ceps[2 * i][:n], ceps[2 * i + 1][:n]))))
+        cep_p_all.append(np.asarray(ceps[2 * i][:n]))
+        cep_r_all.append(np.asarray(ceps[2 * i + 1][:n]))
         try:
             f0p, vp = voc.f0_vuv(preds[i][: ns[i]])
             f0r, vr = voc.f0_vuv(refs[i][: ns[i]])
@@ -102,6 +105,18 @@ def generate(
             save_wav(os.path.join(outdir, uid + ".wav"), cfg.vocoder.fs, wav)
 
     measures: Dict[str, float] = {"mcd_db": float(np.mean(mcds))}
+    # over-smoothing measure: corpus-level global-variance ratio of the
+    # predicted vs natural cepstra (Toda & Tokuda 2007). The LSE regression
+    # under-disperses (< 1); the WGAN critic exists to push this back to 1
+    # (the reference's optimizertts_wgan.py rationale) — see BASELINE.md's
+    # LSE-vs-WGAN study
+    from percivaltts_tpu.eval.measures import global_variance_ratio
+
+    measures["gv_ratio"] = float(
+        global_variance_ratio(
+            np.concatenate(cep_p_all, axis=0), np.concatenate(cep_r_all, axis=0)
+        )
+    )
     # independent gates: a checkpoint predicting all-unvoiced has no
     # both-voiced frames (no f0 RMSE) but its 100% voicing disagreement is
     # exactly what vuv_error_pct must still expose

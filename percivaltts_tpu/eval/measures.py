@@ -121,3 +121,48 @@ def vuv_error(
     if mask is None:
         return 100.0 * jnp.mean(diff)
     return 100.0 * jnp.sum(diff * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def global_variance(cep: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+    """Per-dimension global variance of cepstra over frames, (D,).
+
+    The classic SPSS over-smoothing diagnostic (Toda & Tokuda 2007): an LSE
+    regression to the conditional mean under-disperses, so predicted
+    features' per-dimension variance falls below natural speech's.
+    Percival's whole thesis (reference ``optimizertts_wgan.py`` — the
+    adversarial objective restores the variance the regression loss
+    removes) is measured by the RATIO of predicted to natural GV — see
+    ``global_variance_ratio``.
+
+    cep: (T, D) or (B, T, D); mask: matching (T,)/(B, T) frame validity.
+    With a batch, frames pool across the batch (corpus-level GV).
+    """
+    cep = jnp.asarray(cep)
+    flat = cep.reshape(-1, cep.shape[-1])
+    if mask is None:
+        w = jnp.ones(flat.shape[0], jnp.float32)
+    else:
+        w = jnp.asarray(mask).reshape(-1).astype(jnp.float32)
+    tot = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(flat * w[:, None], axis=0) / tot
+    return jnp.sum(jnp.square(flat - mean[None, :]) * w[:, None], axis=0) / tot
+
+
+def global_variance_ratio(
+    cep_pred: jax.Array,
+    cep_ref: jax.Array,
+    mask_pred: Optional[jax.Array] = None,
+    mask_ref: Optional[jax.Array] = None,
+    exclude_c0: bool = True,
+    eps: float = 1e-12,
+) -> jax.Array:
+    """Scalar over-smoothing measure: geometric-mean over dimensions of
+    GV(pred)/GV(ref). 1.0 = the prediction carries natural spectral
+    dispersion; < 1 = over-smoothed (the LSE failure mode the WGAN critic
+    exists to fix); c0 (energy) excluded by default like MCD."""
+    gv_p = global_variance(cep_pred, mask_pred)
+    gv_r = global_variance(cep_ref, mask_ref)
+    if exclude_c0:
+        gv_p, gv_r = gv_p[1:], gv_r[1:]
+    logr = jnp.log(jnp.maximum(gv_p, eps)) - jnp.log(jnp.maximum(gv_r, eps))
+    return jnp.exp(jnp.mean(logr))

@@ -1,0 +1,120 @@
+"""Controlled LSE-vs-WGAN study (VERDICT round-2 item 2).
+
+Trains the SAME mid-size model on the SAME corpus/steps under (a) pure LSE
+and (b) WGAN-GP with the standard LSE mixing, then reports MCD / F0 RMSE /
+VUV error / global-variance ratio on the held-out test split. The expected
+shape of the result — similar MCD, GV ratio closer to 1 under the critic —
+is percival's whole thesis (reference ``optimizertts_wgan.py``).
+
+Run (TPU): PYTHONPATH=. python scripts/gan_study.py [root=/tmp/gan_study]
+"""
+
+import json
+import os
+import sys
+
+from percivaltts_tpu.config import (
+    Configuration,
+    DataConfig,
+    ModelConfig,
+    TrainConfig,
+    VocoderConfig,
+)
+from percivaltts_tpu.utils.logging import print_log
+
+
+def build_cfg(root: str, trainer: str, epochs: int) -> Configuration:
+    return Configuration(
+        workdir=os.path.join(root, f"exp_{trainer}"),
+        data=DataConfig(
+            corpus_dir=os.path.join(root, "corpus"),
+            question_file=os.path.join(root, "corpus", "questions.hed"),
+            fileids=os.path.join(root, "corpus", "fileids.scp"),
+            num_valid=10,
+            num_test=20,
+            batch_size=16,
+            bucket_bounds=(256,),
+            label_dim=0,
+        ),
+        vocoder=VocoderConfig(kind="pml", fs=16000, spec_size=65, nm_size=33),
+        model=ModelConfig(
+            generator="cnn_blstm",
+            hidden_size=128,
+            blstm_size=128,
+            critic_channels=32,
+            critic_blocks=4,
+        ),
+        train=TrainConfig(
+            trainer=trainer,
+            epochs=epochs,
+            lse_weight=0.25,
+            stream_weights=(("f0", 10.0), ("spec", 1.0), ("nm", 1.0)),
+            checkpoint_every=5,
+            keep_checkpoints=2,
+            measures_every=10,
+            best_metric="mcd",
+            patience=10**6,  # fixed-budget study: no early stopping
+            device_corpus=True,
+            seed=123,  # SAME init/data order for both runs
+        ),
+    )
+
+
+def main(root: str = "/tmp/gan_study", epochs: int = 60, n_utts: int = 200):
+    from percivaltts_tpu.data.demo import generate_demo_corpus
+
+    corpus = os.path.join(root, "corpus")
+    if not os.path.isdir(os.path.join(corpus, "wav")):
+        generate_demo_corpus(corpus, num_utterances=n_utts, fs=16000, seed=777)
+
+    results = {}
+    for trainer in ("lse", "wgan"):
+        cfg = build_cfg(root, trainer, epochs)
+        from percivaltts_tpu.cli import cmd_compose, cmd_generate, cmd_train
+
+        class A:  # minimal argparse stand-in
+            config = None
+            resume = False
+            mesh = False
+            distributed = False
+            on_device_norm = False
+            device_corpus = True
+            checkpoint = None
+            latest = False
+            split = "test"
+            no_wav = True
+            save_features = False
+
+        os.makedirs(cfg.workdir, exist_ok=True)
+        cfgpath = os.path.join(cfg.workdir, "config.json")
+        with open(cfgpath, "w") as f:
+            json.dump(cfg.to_dict(), f)
+        A.config = cfgpath
+        print_log(f"=== study: trainer={trainer} ===")
+        cmd_compose(A)
+        cmd_train(A)
+        cmd_generate(A)
+        with open(os.path.join(cfg.workdir, "measures.json")) as f:
+            m = json.load(f)
+        results[trainer] = m
+        print_log(f"=== {trainer}: {m} ===")
+
+    out = os.path.join(root, "study.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print_log(f"study written to {out}")
+    for t, m in results.items():
+        print_log(
+            f"{t:>5}: mcd {m.get('mcd_db', float('nan')):.2f} dB, "
+            f"f0 {m.get('f0_rmse_hz', float('nan')):.1f} Hz, "
+            f"vuv {m.get('vuv_error_pct', float('nan')):.1f}%, "
+            f"gv_ratio {m.get('gv_ratio', float('nan')):.3f}"
+        )
+
+
+if __name__ == "__main__":
+    kw = {}
+    for a in sys.argv[1:]:
+        k, v = a.split("=")
+        kw[k] = v if k == "root" else int(v)
+    main(**kw)

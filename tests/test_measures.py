@@ -64,3 +64,34 @@ def test_vuv_error():
     np.testing.assert_allclose(float(vuv_error(v1, v2)), 50.0)
     mask = np.array([1.0, 1.0, 0.0, 0.0], np.float32)
     np.testing.assert_allclose(float(vuv_error(v1, v2, mask)), 50.0)
+
+
+def test_global_variance_ratio_detects_oversmoothing():
+    """Shrinking features toward their mean (the LSE over-smoothing failure
+    mode) must push the GV ratio below 1 by the shrinkage factor squared;
+    identical features read exactly 1."""
+    from percivaltts_tpu.eval.measures import global_variance_ratio
+
+    rng = np.random.default_rng(0)
+    ref = rng.normal(0.0, 1.0, size=(400, 26)).astype(np.float32)
+    ref = ref * np.linspace(2.0, 0.3, 26)[None, :]
+    assert abs(float(global_variance_ratio(ref, ref)) - 1.0) < 1e-5
+    smooth = ref.mean(axis=0, keepdims=True) + 0.5 * (ref - ref.mean(axis=0))
+    r = float(global_variance_ratio(smooth, ref))
+    assert abs(r - 0.25) < 0.02, r  # variance scales by 0.5² per dim
+    # masked frames must not contribute
+    refm = np.concatenate([ref, 100.0 * np.ones((50, 26), np.float32)])
+    mask = np.concatenate([np.ones(400), np.zeros(50)]).astype(np.float32)
+    r2 = float(global_variance_ratio(smooth, refm, mask_ref=mask))
+    assert abs(r2 - 0.25) < 0.02, r2
+
+
+def test_global_variance_ratio_excludes_c0():
+    """A c0-only (per-frame gain) difference must not move the ratio."""
+    from percivaltts_tpu.eval.measures import global_variance_ratio
+
+    rng = np.random.default_rng(1)
+    ref = rng.normal(size=(200, 26)).astype(np.float32)
+    pred = ref.copy()
+    pred[:, 0] = 5.0 * rng.normal(size=200)
+    assert abs(float(global_variance_ratio(pred, ref)) - 1.0) < 1e-5
