@@ -147,7 +147,7 @@ class BiLSTM(nn.Module):
             and pallas_vmem_ok(
                 B,
                 self.features,
-                _dtype(self.compute_dtype).itemsize,
+                jnp.dtype(_dtype(self.compute_dtype)).itemsize,
                 self.cell_type,
             )
         )

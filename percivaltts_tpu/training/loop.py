@@ -468,6 +468,8 @@ class Trainer:
             start_epoch + 1 if epochs - start_epoch > 1 else start_epoch
         )
         history: Dict[str, list] = {"train": [], "valid": []}
+        last_saved = start_epoch - 1
+        epoch = start_epoch - 1
         for epoch in range(start_epoch, epochs):
             tr = self._train_epoch(epoch)
             va = self._validate()
@@ -507,12 +509,17 @@ class Trainer:
                 if score == score:
                     m["score"] = float(score)
                 self.ckpt.save(epoch, self.state, metrics=m or None)
+                last_saved = epoch
             if self.best_epoch >= 0 and self._stale_evals >= cfg.patience:
                 print_log(
                     f"early stopping at epoch {epoch} "
                     f"(best {self.best_valid:.5f} @ {self.best_epoch})"
                 )
                 break
+        # a run must always end restorable: short runs (epochs <
+        # checkpoint_every) otherwise save nothing and `generate` fails
+        if epoch >= start_epoch and last_saved < epoch:
+            self.ckpt.save(epoch, self.state, metrics=None)
         return history
 
     def close(self):

@@ -11,6 +11,8 @@ Run (TPU): PYTHONPATH=. python scripts/gan_study.py [root=/tmp/gan_study]
 
 import json
 import os
+import shutil
+import subprocess
 import sys
 
 from percivaltts_tpu.config import (
@@ -70,7 +72,7 @@ def main(root: str = "/tmp/gan_study", epochs: int = 60, n_utts: int = 200):
     results = {}
     for trainer in ("lse", "wgan"):
         cfg = build_cfg(root, trainer, epochs)
-        from percivaltts_tpu.cli import cmd_compose, cmd_generate, cmd_train
+        from percivaltts_tpu.cli import cmd_generate, cmd_train
 
         class A:  # minimal argparse stand-in
             config = None
@@ -91,7 +93,25 @@ def main(root: str = "/tmp/gan_study", epochs: int = 60, n_utts: int = 200):
             json.dump(cfg.to_dict(), f)
         A.config = cfgpath
         print_log(f"=== study: trainer={trainer} ===")
-        cmd_compose(A)
+        # Analysis runs on CPU in a subprocess: the long vmapped DSP pass has
+        # crashed the tunneled TPU worker, and the feature cache it writes is
+        # platform-agnostic. The two experiments share identical vocoder /
+        # question configs, so the first cache is copied to the second.
+        cache = os.path.join(cfg.workdir, "feature_cache")
+        lse_cache = os.path.join(root, "exp_lse", "feature_cache")
+        if trainer != "lse" and os.path.isdir(lse_cache) and not os.path.isdir(cache):
+            shutil.copytree(lse_cache, cache)
+        subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax; jax.config.update('jax_platforms', 'cpu');"
+                "import sys; from percivaltts_tpu.cli import main;"
+                f"sys.exit(main(['compose', '--config', {cfgpath!r}]))",
+            ],
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+            check=True,
+        )
         cmd_train(A)
         cmd_generate(A)
         with open(os.path.join(cfg.workdir, "measures.json")) as f:

@@ -226,3 +226,17 @@ def test_bilstm_pallas_shard_map_partitioned():
     x1 = x[:1]
     y = jax.jit(sharded.apply)(params, x1)
     np.testing.assert_allclose(np.asarray(y), np.asarray(plain.apply(params, x1)), atol=1e-5)
+
+
+def test_pick_pallas_auto_heuristic_evaluates_on_all_dtypes(monkeypatch):
+    """The auto heuristic's VMEM check must actually evaluate for every
+    compute dtype: on CPU `backend == "tpu"` short-circuits the `and`, which
+    hid a crash (`type object 'bfloat16' has no attribute 'itemsize'`) that
+    broke every TPU cnn_blstm run. Mock the backend so the full expression
+    runs here."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    for dt, cell in (("bfloat16", "lstm"), ("float32", "lstm"), ("bfloat16", "gru")):
+        m = BiLSTM(128, compute_dtype=dt, cell_type=cell)
+        assert m._pick_pallas(16) in (True, False)
+    # lane-misaligned gate width never picks the kernel
+    assert BiLSTM(100, compute_dtype="bfloat16")._pick_pallas(16) is False
