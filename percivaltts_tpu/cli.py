@@ -36,7 +36,12 @@ def _load_config(path: str) -> Configuration:
 def cmd_demo(args) -> int:
     from percivaltts_tpu.data.demo import generate_demo_corpus
 
-    generate_demo_corpus(args.out, num_utterances=args.num, seed=args.seed)
+    generate_demo_corpus(
+        args.out,
+        num_utterances=args.num,
+        seed=args.seed,
+        hard=getattr(args, "hard", False),
+    )
     # drop a ready-to-edit config SIZED FOR the miniature corpus (small
     # model, few epochs, f32 so it also runs quickly on CPU); production
     # configs should start from Configuration() defaults instead
@@ -298,6 +303,12 @@ def main(argv=None) -> int:
     pd.add_argument("--out", required=True)
     pd.add_argument("--num", type=int, default=20)
     pd.add_argument("--seed", type=int, default=1234)
+    pd.add_argument(
+        "--hard",
+        action="store_true",
+        help="stress corpus: plosive bursts, silence clicks, wide f0, "
+        "amplitude dynamics",
+    )
     pd.set_defaults(fn=cmd_demo)
 
     pc = sub.add_parser("compose", help="compose corpus features + stats")

@@ -37,17 +37,21 @@ def boundary_distance(vuv: np.ndarray) -> np.ndarray:
     return d - 0.5  # frames adjacent to the flip read 0
 
 
-def main(n_utts: int = 12, seed: int = 1234):
+def main(n_utts: int = 12, seed: int = 1234, hard: int = 0):
     cfg = VocoderConfig(kind="pml", fs=16000, spec_size=65, nm_size=33)
     voc = get_vocoder(cfg)
     # reuse the corpus across experiment runs (same n_utts/seed); set
     # BDIAG_ROOT to pin a location, delete it to force regeneration
-    root = os.environ.get("BDIAG_ROOT", f"/tmp/bdiag_{n_utts}_{seed}")
+    root = os.environ.get(
+        "BDIAG_ROOT", f"/tmp/bdiag_{n_utts}_{seed}" + ("_hard" if hard else "")
+    )
     if os.path.isdir(os.path.join(root, "wav")):
         with open(os.path.join(root, "fileids.scp")) as f:
             ids = [l.strip() for l in f if l.strip()]
     else:
-        ids = generate_demo_corpus(root, num_utterances=n_utts, fs=cfg.fs, seed=seed)
+        ids = generate_demo_corpus(
+            root, num_utterances=n_utts, fs=cfg.fs, seed=seed, hard=bool(hard)
+        )
 
     from percivaltts_tpu.data.compose import load_wav
 

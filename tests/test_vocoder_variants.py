@@ -100,3 +100,115 @@ def test_world_batched_paths_match_single():
     for a, b in zip(syn_batched, syn_single):
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+# ---- per-band aperiodicity oracle (VERDICT round-2 item 5) ----------------
+#
+# D4C-class behavior check for the shared peak/valley estimator
+# (ops.aperiodicity.harmonic_noise_mask, used as WORLD's bap and PML's nm):
+# synthetic harmonic+noise mixtures with KNOWN per-band noise fractions.
+# Semantics under test: nm(band) = noise power per f0-interval around the
+# band center / total power in that interval.
+
+HOP = 80
+
+
+def _harmonic_noise_mix(f0, amp, psd_fn, dur=1.5, fs=FS, seed=0):
+    """All harmonics at amplitude ``amp`` + Gaussian noise with ONE-SIDED
+    PSD ``2*psd_fn(f)`` (the rfft-filter synthesis doubles the requested
+    density: measured var == 2*N0*fs/2 for a flat request N0 — keep the
+    factor explicit so the oracle's ground truth is correct)."""
+    rng = np.random.default_rng(seed)
+    n = int(dur * fs)
+    t = np.arange(n) / fs
+    x = np.zeros(n)
+    for k in range(1, int(fs / 2 / f0)):
+        x += amp * np.cos(2 * np.pi * k * f0 * t + rng.uniform(0, 2 * np.pi))
+    w = rng.normal(size=n)
+    W = np.fft.rfft(w)
+    fr = np.fft.rfftfreq(n, 1 / fs)
+    x += np.fft.irfft(W * np.sqrt(np.maximum(psd_fn(fr), 0.0) * fs), n=n)
+    return x.astype(np.float32)
+
+
+def _estimate_nm(x, f0, num_bands=33):
+    import jax.numpy as jnp
+
+    from percivaltts_tpu.ops.aperiodicity import harmonic_noise_mask
+
+    nf = len(x) // HOP
+    track = jnp.full((nf,), float(f0), jnp.float32)
+    nm = np.asarray(harmonic_noise_mask(jnp.asarray(x), track, FS, HOP, num_bands, 60.0))
+    return nm[nf // 4 : 3 * nf // 4].mean(axis=0)  # steady-state interior
+
+
+def _true_frac(N0, f0, amp):
+    # one-sided PSD is 2*N0 (see _harmonic_noise_mix); noise per f0-interval
+    # = 2*N0*f0; harmonic power = amp^2/2
+    return 2.0 * N0 * f0 / (2.0 * N0 * f0 + amp**2 / 2.0)
+
+
+def test_aperiodicity_uniform_mixtures_match_known_fractions():
+    """White noise + constant-amplitude harmonics: every interior band must
+    read the analytic noise fraction. The estimator is analytically unbiased
+    (valley reads the true bin-PSD to <1%: measured 0.1592 vs 0.16, and
+    finer FFT padding does not move it), but the per-frame ratio
+    v/(v+rho*h) is CONVEX in the fluctuating harmonic term h, so averaging
+    frames carries a Jensen bias of up to ~+0.05 at mid fractions — the
+    documented deviation from D4C-class accuracy. Gate: |err| < 0.10 at
+    every interior band across f0 in {100, 250}, fractions 0.04..0.5."""
+    from percivaltts_tpu.ops.warp import _band_centers_hz
+
+    centers = np.asarray(_band_centers_hz(33, FS))
+    for f0 in (100.0, 250.0):
+        for N0 in (1e-6, 1e-5):
+            x = _harmonic_noise_mix(f0, 0.1, lambda f: np.full_like(f, N0), seed=3)
+            nm = _estimate_nm(x, f0)
+            true = _true_frac(N0, f0, 0.1)
+            sel = (centers > f0) & (centers < FS / 2 - 2 * f0)
+            err = np.abs(nm[sel] - true)
+            assert err.max() < 0.10, (f0, N0, true, nm[sel])
+
+
+def test_aperiodicity_localizes_concentrated_noise():
+    """Noise confined to 2-3 kHz must read high ONLY there: bands well
+    outside stay < 0.02 while inside bands read the analytic fraction."""
+    from percivaltts_tpu.ops.warp import _band_centers_hz
+
+    f0, N0 = 150.0, 2e-5
+    x = _harmonic_noise_mix(
+        f0, 0.1, lambda f: np.where((f > 2000) & (f < 3000), N0, 0.0), seed=5
+    )
+    nm = _estimate_nm(x, f0)
+    centers = np.asarray(_band_centers_hz(33, FS))
+    true_in = _true_frac(N0, f0, 0.1)
+    inside = (centers >= 2200) & (centers <= 2800)
+    below = (centers >= 300) & (centers <= 1700)
+    above = (centers >= 3400) & (centers <= 7000)
+    assert abs(nm[inside].mean() - true_in) < 0.1, (nm[inside].mean(), true_in)
+    assert nm[below].max() < 0.02, nm[below].max()
+    assert nm[above].max() < 0.02, nm[above].max()
+
+
+def test_aperiodicity_narrow_feature_resolution_limit():
+    """A noise feature ~1.2*f0 wide (500-800 Hz at f0=250) on a 65-band
+    warped axis, where low bands are narrower than f0. The estimator
+    resolves it to the correct harmonic intervals but smears by ~one
+    harmonic on each side — the documented deviation from D4C's fixed
+    coarse bands (which would average it into a 3 kHz-wide value instead).
+    Inside reads high; two harmonics away reads ~0."""
+    from percivaltts_tpu.ops.warp import _band_centers_hz
+
+    f0 = 250.0
+    x = _harmonic_noise_mix(
+        f0, 0.1, lambda f: np.where((f > 500) & (f < 800), 4e-5, 0.0), seed=7
+    )
+    nm = _estimate_nm(x, f0, num_bands=65)
+    centers = np.asarray(_band_centers_hz(65, FS))
+    core = (centers >= 550) & (centers <= 750)
+    far = ((centers > 0) & (centers <= 250)) | ((centers >= 1250) & (centers <= 2500))
+    assert nm[core].mean() > 0.4, nm[core]
+    assert nm[far].max() < 0.03, nm[far].max()
+    # smear is bounded to one harmonic interval: beyond f0 away it has decayed
+    edge = (centers >= 1050) & (centers <= 1200)
+    assert nm[edge].max() < 0.1, nm[edge]
