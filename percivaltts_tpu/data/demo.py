@@ -210,9 +210,14 @@ def generate_demo_corpus(
     os.makedirs(f0_dir, exist_ok=True)
 
     names = BASE_NAMES + ([p for p in PLOSIVES] if hard else [])
-    # question set: identity of prev/current/next phone + positional CQS
+    # question set: identity of prev/current/next phone + positional CQS.
+    # Only phones this corpus can contain get questions — the default-mode
+    # questions.hed stays byte-identical to the pre-hard generator (plosive
+    # questions would add six always-zero label columns and perturb every
+    # deterministic training fixture downstream)
+    q_phones = ["sil"] + names
     with open(os.path.join(root, "questions.hed"), "w") as q:
-        for p in PHONES:
+        for p in q_phones:
             q.write(f'QS "C-{p}" {{*-{p}+*}}\n')
             q.write(f'QS "L-{p}" {{*^{p}-*}}\n')
             q.write(f'QS "R-{p}" {{*+{p}=*}}\n')

@@ -41,14 +41,21 @@ from percivaltts_tpu.utils.profiling import StepTimer, trace
 
 
 def _group_wgan_batches(
-    batches: Iterator[Dict[str, np.ndarray]], group: int
+    batches: Iterator[Dict[str, np.ndarray]],
+    group: int,
+    buffers: Dict[int, List[Dict[str, np.ndarray]]],
 ) -> Iterator[Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]]:
     """Group same-shape batches into (stacked critic batches, gen batch).
 
-    At epoch end, leftover buffered batches are cycled to complete a final
-    group (small corpora would otherwise yield zero WGAN steps per epoch).
+    ``buffers`` persists across epochs (the trainer owns it): a partial
+    group at epoch end simply waits for the next epoch's batches of the
+    same bucket bound, so every batch in a group is distinct and the
+    objective is unchanged on small corpora. (The previous behavior —
+    cycling leftovers to complete a final group — fed the critic
+    duplicated batches within one outer step on the demo/e2e regime.)
+    A run whose corpus never fills a whole group performs zero WGAN
+    steps; callers warn on zero-step epochs.
     """
-    buffers: Dict[int, List[Dict[str, np.ndarray]]] = {}
     for b in batches:
         bound = b["lab"].shape[1]
         buf = buffers.setdefault(bound, [])
@@ -59,12 +66,6 @@ def _group_wgan_batches(
             }
             yield critic, buf[-1]
             buffers[bound] = []
-    for bound, buf in buffers.items():
-        if not buf:
-            continue
-        cycled = [buf[i % len(buf)] for i in range(group)]
-        critic = {k: np.stack([x[k] for x in cycled[:-1]]) for k in cycled[0]}
-        yield critic, cycled[-1]
 
 
 class _EpochProfiler:
@@ -252,6 +253,8 @@ class Trainer:
         # epoch THIS process runs (which pays the compile) — a fixed value
         # would never fire on resumed runs
         self._profile_epoch = -1
+        # partial WGAN groups carried across epochs (see _group_wgan_batches)
+        self._wgan_buffers: Dict[int, List[Dict[str, np.ndarray]]] = {}
 
     # ------------------------------------------------------------------ #
 
@@ -332,7 +335,9 @@ class Trainer:
             def prepared():
                 # batch assembly + cast + device_put run in the prefetch
                 # thread, overlapping device execution
-                for critic_b, gen_b in _group_wgan_batches(batches, group):
+                for critic_b, gen_b in _group_wgan_batches(
+                    batches, group, self._wgan_buffers
+                ):
                     cb = self._cast(critic_b)
                     if self.mesh is not None:
                         cb = global_stacked_batch(cb, self.mesh)
@@ -363,6 +368,13 @@ class Trainer:
             for k, v in m.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
         dt = time.time() - t0
+        if nsteps == 0 and self.cfg.train.trainer == "wgan":
+            print_log(
+                "WGAN epoch performed 0 steps: the corpus yields fewer than "
+                f"n_critic+1={self.cfg.train.n_critic + 1} same-bucket batches "
+                "per epoch; partial groups carry over to the next epoch "
+                "(lower batch_size or bucket_bounds to fill groups faster)"
+            )
         out = {k: v / max(nsteps, 1) for k, v in agg.items()}
         out.update(steps=nsteps, sec=dt, frames_per_sec=frames / max(dt, 1e-9))
         out.update(prof.summary())
