@@ -153,7 +153,11 @@ def main() -> None:
     chunk_times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        n = 10
+        # 40 steps per sync: the hard-sync readback costs one ~25 ms tunnel
+        # round-trip, which at the old 10-step chunks inflated every step by
+        # ~2.5 ms (device-profile step time 18.3 ms vs 24.4 ms measured).
+        # Amortizing over 40 leaves <1 ms of RTT per step.
+        n = 40
         for _ in range(n):
             state, m = step(state, *step_args)
         hard_sync(state)

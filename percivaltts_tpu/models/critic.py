@@ -107,27 +107,33 @@ class Critic(nn.Module):
             raise ValueError(f"unknown conv_style: {self.conv_style}")
 
         # ---- scalar streams (f0 / vuv / nm / bap): frame-wise dense path ----
+        # Time-pool BEFORE the dense stacks: their outputs are consumed at
+        # the conv path's downsampled rate T/t_stride anyway, so running the
+        # GEMMs at full T wasted t_stride× flops (profiled at ~1.8 ms of the
+        # 24 ms headline step across all critic passes incl. the GP
+        # double-backprop). Param shapes are unchanged (pooling is over
+        # time); only activations shrink.
+        B, T = mask.shape
+        Tp = x.shape[1]
+
+        def pool_t(z):
+            return z[:, : Tp * t_stride].reshape(
+                B, Tp, t_stride, z.shape[-1]
+            ).mean(axis=2)
+
         rest = [cmp[..., s:e] for name, (s, e) in streams.items() if name != spec_key]
         h_parts = [x.reshape(x.shape[0], -1, x.shape[-1])]
         if rest:
-            r = jnp.concatenate(rest, axis=-1) * mask[:, :, None]
+            r = pool_t(jnp.concatenate(rest, axis=-1) * mask[:, :, None])
             r = nn.Dense(self.hidden // 2, dtype=dt, param_dtype=pdt, name="rest_d0")(r)
             r = nn.gelu(r)
             r = nn.Dense(self.hidden // 2, dtype=dt, param_dtype=pdt, name="rest_d1")(r)
-            # downsample time to match the conv path
-            B, T = mask.shape
-            Tp = x.shape[1]
-            r = r[:, : Tp * t_stride]
-            r = r.reshape(B, Tp, t_stride, -1).mean(axis=2)
             h_parts.append(r)
 
         # ---- conditioning on the input labels (conditional critic) ----
-        l = lab.astype(dt) * mask[:, :, None]
+        l = pool_t(lab.astype(dt) * mask[:, :, None])
         l = nn.Dense(self.hidden // 2, dtype=dt, param_dtype=pdt, name="cond_d0")(l)
         l = nn.gelu(l)
-        B, T = mask.shape
-        Tp = x.shape[1]
-        l = l[:, : Tp * t_stride].reshape(B, Tp, t_stride, -1).mean(axis=2)
         h_parts.append(l)
 
         h = jnp.concatenate(h_parts, axis=-1)
