@@ -436,8 +436,56 @@ def pml_synthesize_amp_core(
     ).astype(jnp.float32)
 
     # ---- harmonic part: amplitudes + minimum-phase offsets --------------- #
+    # Time-SHARPEN the harmonic amplitudes before rendering. The analysis
+    # reading of a moving harmonic amplitude a(t) is ≈ (K∗a)(t) with K the
+    # normalized 4·T0 Hann analysis window (halfwidth 2·T0 ≈ 2–3 frames),
+    # further smoothed by the ±1 triangular env_time_smooth — so rendering
+    # the analyzed amplitudes verbatim makes the re-analysis smear them
+    # AGAIN (feats2 ≈ C²·truth, C = K∗S): a deterministic error wherever
+    # the envelope moves in time (intra-voiced phone transitions), measured
+    # as ~92% of the steady-voiced copy-synthesis floor (seed-to-seed
+    # 2.2 dB vs ref-vs-resynth 5.9 dB, seed study 2026-08-17). Rendering
+    # the first-order inverse a ↦ 2a − C∗a instead cancels the smear to
+    # second order (C(2−C) = I − (C−I)²). C is f0-adaptive per frame;
+    # voiced frames only — unvoiced-frame error is stochastic, and
+    # sharpening would amplify it.
+    halfw_f = 2.0 * fs / (f0 * hop)  # window half-width in frames, (nf,)
+    RAD = 4
+    taus = jnp.arange(-RAD, RAD + 1, dtype=jnp.float32)
+    Kw = jnp.where(
+        jnp.abs(taus)[None, :] < halfw_f[:, None],
+        jnp.square(
+            0.5 + 0.5 * jnp.cos(jnp.pi * taus[None, :] / halfw_f[:, None])
+        ) ** 0.5,
+        0.0,
+    )  # Hann amplitude kernel, (nf, 2R+1)
+    tri = jnp.asarray([0.25, 0.5, 0.25], jnp.float32)  # env_time_smooth=1
+    C = sum(
+        tri[j] * jnp.pad(Kw, ((0, 0), (j, 2 - j)))[:, 1:-1] for j in range(3)
+    )
+    C = C / jnp.maximum(C.sum(axis=-1, keepdims=True), 1e-9)
+    vcol = voiced_f[:, None]
+
+    def shift_rows(x, t):
+        if t == 0:
+            return x
+        if t > 0:
+            return jnp.concatenate([x[t:], jnp.repeat(x[-1:], t, axis=0)])
+        return jnp.concatenate([jnp.repeat(x[:1], -t, axis=0), x[:t]])
+
+    # voicing-partitioned smear: only same-state frames contribute (the
+    # analysis-side backfill/edge machinery owns the boundaries)
+    num = sum(
+        C[:, RAD + t, None] * shift_rows(A * vcol, t) for t in range(-RAD, RAD + 1)
+    )
+    den = sum(
+        C[:, RAD + t, None] * shift_rows(vcol, t) for t in range(-RAD, RAD + 1)
+    )
+    A_smear = num / jnp.maximum(den, 1e-6)
+    A_h = jnp.where(vcol > 0.5, jnp.maximum(2.0 * A - A_smear, 0.2 * A), A)
+
     k, binpos, valid = _harmonic_grid(f0, f0_min, fs, dftlen)
-    amp_f = lerp_gather(A, binpos) * jnp.sqrt(
+    amp_f = lerp_gather(A_h, binpos) * jnp.sqrt(
         jnp.clip(1.0 - lerp_gather(nm_bins, binpos), 0.0, 1.0)
     )
     amp_f = jnp.where(valid, amp_f, 0.0)
