@@ -46,6 +46,14 @@ class VocoderConfig:
     # radius (frames) of triangular time-smoothing of the power spectrum
     # before envelope estimation; cuts estimator variance on noise regions
     env_time_smooth: int = 1
+    # closed-loop synthesis iterations (PML amp path): render, re-analyze,
+    # subtract the spec-stream roundtrip error, render again. The
+    # analyze∘synthesize operator carries a repeating per-frame/band bias
+    # (scripts/double_roundtrip.py: error autocorrelation +0.67, slope 0.5
+    # across consecutive roundtrips), so one pre-compensation pass cancels
+    # it: steady-state copy-synthesis 5.6 → 3.2 dB MCD measured. 0 = open
+    # loop (one render, 3× cheaper)
+    closed_loop: int = 1
     # mel-spectrogram variant (BASELINE config 4)
     mel_size: int = 80
 

@@ -676,6 +676,117 @@ def pml_synthesize_amp_core(
     return harm + noise_wav * g
 
 
+# Closed-loop correction gates (see pml_closed_loop_core): frames within
+# CL_BOUNDARY_RADIUS of a voicing flip keep their analyzed spec (the
+# boundary error is not a repeatable operator bias — correcting it raises
+# the re-analysis vuv flip rate); per-band corrections are clamped to
+# ±CL_CLAMP nats (outlier readings near flips would otherwise overshoot).
+CL_BOUNDARY_RADIUS = 4
+CL_CLAMP = 1.5
+
+
+def _vuv_from_nm(nm_w: jax.Array) -> jax.Array:
+    """Voicing bit from the warped noise mask (same rule as
+    ``Vocoder.f0_vuv``: analysis writes nm = 1 on unvoiced frames)."""
+    low = nm_w[:, : max(nm_w.shape[-1] // 4, 1)]
+    return (jnp.mean(low, axis=-1) < 0.75).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fs",
+        "hop",
+        "frame_len",
+        "dftlen",
+        "spec_size",
+        "nm_size",
+        "f0_min",
+        "f0_max",
+        "envelope",
+        "env_time_smooth",
+        "iters",
+    ),
+)
+def pml_closed_loop_core(
+    lf0: jax.Array,
+    spec_w: jax.Array,
+    nm_w: jax.Array,
+    fs: int,
+    hop: int,
+    frame_len: int,
+    dftlen: int,
+    spec_size: int,
+    nm_size: int,
+    f0_min: float,
+    f0_max: float,
+    envelope: str = "harmonic",
+    env_time_smooth: int = 1,
+    seed: int = 0,
+    iters: int = 1,
+) -> jax.Array:
+    """Closed-loop (analysis-by-synthesis) PML rendering.
+
+    The roundtrip operator R = analyze∘synthesize is not the identity: on
+    steady frames its error e = R(f) − f repeats across consecutive
+    roundtrips (autocorrelation +0.67, per-band bias correlation +0.87 —
+    scripts/double_roundtrip.py), i.e. R(x) ≈ x + b(x) with a smooth bias
+    b. One correction pass renders from f − (R(f) − f): since b changes
+    slowly in feature space, R(f − e) ≈ f − e + b(f) = f − (e − b) cancels
+    the bias and leaves only the reading variance (steady-state
+    copy-synthesis 5.6 → 3.2 dB MCD measured; the reference's open-loop
+    pulse-model synthesis has no equivalent — this is what makes the
+    analyze→synthesize→analyze loop near-transparent). Corrections apply to
+    the spec stream only, on frames ≥ CL_BOUNDARY_RADIUS from a voicing
+    flip where both analyses agree on voicing."""
+    syn_kw = dict(
+        fs=fs,
+        hop=hop,
+        frame_len=frame_len,
+        dftlen=dftlen,
+        f0_min=f0_min,
+        f0_max=f0_max,
+        seed=seed,
+    )
+    ana_kw = dict(
+        fs=fs,
+        hop=hop,
+        frame_len=frame_len,
+        dftlen=dftlen,
+        spec_size=spec_size,
+        nm_size=nm_size,
+        f0_min=f0_min,
+        f0_max=f0_max,
+        envelope=envelope,
+        env_time_smooth=env_time_smooth,
+    )
+    v1 = _vuv_from_nm(nm_w)  # (nf,)
+    # distance-to-flip gate: dilate the flip indicator CL_BOUNDARY_RADIUS
+    # frames each way; frames it reaches are left uncorrected
+    flip = jnp.concatenate([jnp.zeros((1,)), jnp.abs(jnp.diff(v1))])
+    near = flip
+    for _ in range(CL_BOUNDARY_RADIUS):
+        near = jnp.maximum(
+            near,
+            jnp.maximum(
+                jnp.concatenate([near[1:], near[-1:]]),
+                jnp.concatenate([near[:1], near[:-1]]),
+            ),
+        )
+    far = (1.0 - near)[:, None]  # (nf, 1)
+
+    spec_c = spec_w
+    for _ in range(iters):
+        wav = pml_synthesize_amp_core(lf0, spec_c, nm_w, **syn_kw)
+        feats2, _ = pml_analyze_core(wav, **ana_kw)
+        spec2 = feats2[:, 1 : 1 + spec_size]
+        v2 = _vuv_from_nm(feats2[:, 1 + spec_size :])
+        same = (v1 == v2).astype(jnp.float32)[:, None]
+        e = jnp.clip(spec2 - spec_w, -CL_CLAMP, CL_CLAMP) * far * same
+        spec_c = spec_c - e
+    return pml_synthesize_amp_core(lf0, spec_c, nm_w, **syn_kw)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -712,6 +823,29 @@ def _pml_synthesize_vmapped(lf0s, specs, nms, amp, **kw):
     """vmap of a synthesis core over stacked (B, frames, ·) features."""
     core = pml_synthesize_amp_core if amp else pml_synthesize_core
     return jax.vmap(lambda a, b, c: core(a, b, c, **kw))(lf0s, specs, nms)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fs",
+        "hop",
+        "frame_len",
+        "dftlen",
+        "spec_size",
+        "nm_size",
+        "f0_min",
+        "f0_max",
+        "envelope",
+        "env_time_smooth",
+        "iters",
+    ),
+)
+def _pml_closed_loop_vmapped(lf0s, specs, nms, **kw):
+    """vmap of the closed-loop core over stacked (B, frames, ·) features."""
+    return jax.vmap(lambda a, b, c: pml_closed_loop_core(a, b, c, **kw))(
+        lf0s, specs, nms
+    )
 
 
 @register
@@ -763,25 +897,44 @@ class PMLVocoder(Vocoder):
         c = self.cfg
         feats = np.asarray(feats, np.float32)
         nf = feats.shape[0]
+        if nf == 0:
+            return np.zeros((0,), np.float32)
         nf_pad = -(-nf // FRAME_MULTIPLE) * FRAME_MULTIPLE
         fp = self._pad_feats(feats, nf_pad)
-        core = (
-            pml_synthesize_amp_core
-            if c.envelope in ("cheaptrick", "harmonic")
-            else pml_synthesize_core
-        )
-        wav = core(
+        amp = c.envelope in ("cheaptrick", "harmonic")
+        args = (
             jnp.asarray(fp[:, 0]),
             jnp.asarray(fp[:, 1 : 1 + c.spec_size]),
             jnp.asarray(fp[:, 1 + c.spec_size :]),
-            fs=c.fs,
-            hop=c.shift_samples,
-            frame_len=c.frame_samples,
-            dftlen=c.dftlen,
-            f0_min=c.f0_min,
-            f0_max=c.f0_max,
-            seed=seed,
         )
+        if amp and c.closed_loop > 0:
+            wav = pml_closed_loop_core(
+                *args,
+                fs=c.fs,
+                hop=c.shift_samples,
+                frame_len=c.frame_samples,
+                dftlen=c.dftlen,
+                spec_size=c.spec_size,
+                nm_size=c.nm_size,
+                f0_min=c.f0_min,
+                f0_max=c.f0_max,
+                envelope=c.envelope,
+                env_time_smooth=c.env_time_smooth,
+                seed=seed,
+                iters=c.closed_loop,
+            )
+        else:
+            core = pml_synthesize_amp_core if amp else pml_synthesize_core
+            wav = core(
+                *args,
+                fs=c.fs,
+                hop=c.shift_samples,
+                frame_len=c.frame_samples,
+                dftlen=c.dftlen,
+                f0_min=c.f0_min,
+                f0_max=c.f0_max,
+                seed=seed,
+            )
         return np.asarray(wav[: nf * c.shift_samples])
 
     def synthesize_batch(self, feats_list, seed: int = 0, chunk: int = 4) -> list:
@@ -800,10 +953,28 @@ class PMLVocoder(Vocoder):
                 jnp.asarray(fp[:, :, 1 + c.spec_size :]),
             )
 
+        amp = c.envelope in ("cheaptrick", "harmonic")
+
         def run(args):
+            if amp and c.closed_loop > 0:
+                return _pml_closed_loop_vmapped(
+                    *args,
+                    fs=c.fs,
+                    hop=c.shift_samples,
+                    frame_len=c.frame_samples,
+                    dftlen=c.dftlen,
+                    spec_size=c.spec_size,
+                    nm_size=c.nm_size,
+                    f0_min=c.f0_min,
+                    f0_max=c.f0_max,
+                    envelope=c.envelope,
+                    env_time_smooth=c.env_time_smooth,
+                    seed=seed,
+                    iters=c.closed_loop,
+                )
             return _pml_synthesize_vmapped(
                 *args,
-                amp=(c.envelope in ("cheaptrick", "harmonic")),
+                amp=amp,
                 fs=c.fs,
                 hop=c.shift_samples,
                 frame_len=c.frame_samples,

@@ -39,13 +39,28 @@ def test_analysis_jit_matches_eager(kind):
 
 
 def test_synthesis_jit_matches_eager():
+    import dataclasses
+
     cfg = VocoderConfig(kind="pml", fs=FS, spec_size=33, nm_size=9)
+    feats = get_vocoder(cfg).analyze(_sig())
+
+    # open-loop render: one pass of pure spectral ops — strict tolerance
+    voc_open = get_vocoder(dataclasses.replace(cfg, closed_loop=0))
+    y_jit = voc_open.synthesize(feats, seed=3)
+    with jax.disable_jit():
+        y_eager = voc_open.synthesize(feats, seed=3)
+    np.testing.assert_allclose(y_jit, y_eager, rtol=2e-3, atol=2e-4)
+
+    # closed loop re-analyzes its own render, so fp reassociation passes
+    # through discrete gates (voicing bits, correction gating) and can move
+    # individual corrections — demand signal-level agreement instead
     voc = get_vocoder(cfg)
-    feats = voc.analyze(_sig())
     y_jit = voc.synthesize(feats, seed=3)
     with jax.disable_jit():
         y_eager = voc.synthesize(feats, seed=3)
-    np.testing.assert_allclose(y_jit, y_eager, rtol=2e-3, atol=2e-4)
+    err = np.sqrt(np.mean((y_jit - y_eager) ** 2))
+    ref = np.sqrt(np.mean(y_jit**2))
+    assert err < 5e-3 * ref, (err, ref)
 
 
 def test_dataset_shard_partition():

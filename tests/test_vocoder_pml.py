@@ -133,29 +133,31 @@ def _copy_synth_per_frame_mcd(voc, root, ids):
 def test_copy_synthesis_mcd_demo_corpus(voc, tmp_path):
     """The copy-synthesis fidelity gate (VERDICT round 1 item 2): MCD of
     analyze→synthesize→re-analyze over a miniature demo corpus. Round 1 was
-    19.9 dB; round 2 ≈9.6/6.5; round 3 measures 9.24 mean / 5.61 median on
-    this 4-utt fixture (harmonic envelope + boundary rendering). Gates at
-    measured +15% (VERDICT round-2 weak 2: track measured, don't double)."""
+    19.9 dB; round 2 ≈9.6/6.5; round 3 measures 7.27 mean / 3.17 median on
+    this 4-utt fixture (harmonic envelope + boundary rendering +
+    closed-loop synthesis). Gates at measured +15% (VERDICT round-2
+    weak 2: track measured, don't double)."""
     from percivaltts_tpu.data.demo import generate_demo_corpus
 
     ids = generate_demo_corpus(str(tmp_path), num_utterances=4, fs=FS, seed=1234)
     pf = _copy_synth_per_frame_mcd(voc, str(tmp_path), ids)
-    assert pf.mean() < 10.6, pf.mean()
-    assert np.median(pf) < 6.5, np.median(pf)
+    assert pf.mean() < 8.4, pf.mean()
+    assert np.median(pf) < 3.7, np.median(pf)
 
 
 def test_copy_synthesis_mcd_hard_corpus(voc, tmp_path):
     """Same gate on the HARD demo corpus (plosive bursts, silence clicks,
     wide f0 down to ~62 Hz, amplitude dynamics — VERDICT round-2 item 4).
-    Measured 8.78 mean / 6.06 median; gates at +15%."""
+    Measured 6.89 mean / 3.71 median with closed-loop synthesis; gates at
+    +15%."""
     from percivaltts_tpu.data.demo import generate_demo_corpus
 
     ids = generate_demo_corpus(
         str(tmp_path), num_utterances=4, fs=FS, seed=1234, hard=True
     )
     pf = _copy_synth_per_frame_mcd(voc, str(tmp_path), ids)
-    assert pf.mean() < 10.1, pf.mean()
-    assert np.median(pf) < 7.0, np.median(pf)
+    assert pf.mean() < 7.9, pf.mean()
+    assert np.median(pf) < 4.3, np.median(pf)
 
 
 def test_synthesize_batch_matches_per_utterance(voc):
@@ -174,3 +176,23 @@ def test_synthesize_batch_matches_per_utterance(voc):
         # identical cores under vmap; padding bound may differ per chunk,
         # which only affects the (cropped-away) tail
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_closed_loop_beats_open_loop(tmp_path):
+    """Closed-loop synthesis (render → re-analyze → subtract the spec
+    roundtrip error → render; pml.pml_closed_loop_core) must strictly
+    improve steady-state copy-synthesis over the open-loop render — the
+    operator-bias cancellation it implements (measured 5.6 → 3.2 dB on
+    steady frames, scripts/double_roundtrip.py)."""
+    import dataclasses
+
+    from percivaltts_tpu.data.demo import generate_demo_corpus
+    from percivaltts_tpu.vocoders import get_vocoder
+
+    ids = generate_demo_corpus(str(tmp_path), num_utterances=2, fs=FS, seed=77)
+    closed = get_vocoder(CFG)
+    open_ = get_vocoder(dataclasses.replace(CFG, closed_loop=0))
+    pf_c = _copy_synth_per_frame_mcd(closed, str(tmp_path), ids)
+    pf_o = _copy_synth_per_frame_mcd(open_, str(tmp_path), ids)
+    assert pf_c.mean() < pf_o.mean() - 0.5, (pf_c.mean(), pf_o.mean())
+    assert np.median(pf_c) < np.median(pf_o) - 0.5
