@@ -119,6 +119,113 @@ def _world_analyze_vmapped(wavs, **kw):
     return jax.vmap(lambda w: world_analyze_core(w, **kw))(wavs)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fs",
+        "hop",
+        "frame_len",
+        "dftlen",
+        "spec_size",
+        "nm_size",
+        "f0_min",
+        "f0_max",
+        "env_time_smooth",
+        "iters",
+    ),
+)
+def world_closed_loop_core(
+    lf0: jax.Array,
+    vuv: jax.Array,
+    spec_w: jax.Array,
+    bap: jax.Array,
+    fs: int,
+    hop: int,
+    frame_len: int,
+    dftlen: int,
+    spec_size: int,
+    nm_size: int,
+    f0_min: float,
+    f0_max: float,
+    env_time_smooth: int = 1,
+    seed: int = 0,
+    iters: int = 1,
+) -> jax.Array:
+    """Closed-loop WORLD rendering: same operator-bias cancellation as
+    ``pml.pml_closed_loop_core`` (render → re-analyze with
+    ``world_analyze_core`` → subtract the spec-stream roundtrip error →
+    render), with WORLD's explicit vuv stream supplying the voicing gates
+    instead of the noise-mask rule."""
+    from percivaltts_tpu.vocoders.pml import CL_BOUNDARY_RADIUS, CL_CLAMP
+
+    # voicing gates the harmonic bank through the noise mask
+    nm = jnp.where(vuv[:, None] > 0.5, bap, 1.0)
+    syn_kw = dict(
+        fs=fs,
+        hop=hop,
+        frame_len=frame_len,
+        dftlen=dftlen,
+        f0_min=f0_min,
+        f0_max=f0_max,
+        seed=seed,
+    )
+    ana_kw = dict(
+        fs=fs,
+        hop=hop,
+        dftlen=dftlen,
+        spec_size=spec_size,
+        nm_size=nm_size,
+        f0_min=f0_min,
+        f0_max=f0_max,
+        env_time_smooth=env_time_smooth,
+    )
+    v1 = (vuv > 0.5).astype(jnp.float32)
+    flip = jnp.concatenate([jnp.zeros((1,)), jnp.abs(jnp.diff(v1))])
+    near = flip
+    for _ in range(CL_BOUNDARY_RADIUS):
+        near = jnp.maximum(
+            near,
+            jnp.maximum(
+                jnp.concatenate([near[1:], near[-1:]]),
+                jnp.concatenate([near[:1], near[:-1]]),
+            ),
+        )
+    far = (1.0 - near)[:, None]
+
+    spec_c = spec_w
+    for _ in range(iters):
+        wav = pml_synthesize_amp_core(lf0, spec_c, nm, **syn_kw)
+        feats2 = world_analyze_core(wav, **ana_kw)
+        spec2 = feats2[:, 2 : 2 + spec_size]
+        v2 = (feats2[:, 1] > 0.5).astype(jnp.float32)
+        same = (v1 == v2).astype(jnp.float32)[:, None]
+        e = jnp.clip(spec2 - spec_w, -CL_CLAMP, CL_CLAMP) * far * same
+        spec_c = spec_c - e
+    return pml_synthesize_amp_core(lf0, spec_c, nm, **syn_kw)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fs",
+        "hop",
+        "frame_len",
+        "dftlen",
+        "spec_size",
+        "nm_size",
+        "f0_min",
+        "f0_max",
+        "env_time_smooth",
+        "iters",
+    ),
+)
+def _world_closed_loop_vmapped(lf0s, vuvs, specs, baps, **kw):
+    """vmap of the closed-loop core over stacked (B, frames, ·) features."""
+    return jax.vmap(
+        lambda a, v, b, c: world_closed_loop_core(a, v, b, c, **kw)
+    )(lf0s, vuvs, specs, baps)
+
+
 @register
 class WorldVocoder(Vocoder):
     kind = "world"
@@ -148,12 +255,12 @@ class WorldVocoder(Vocoder):
         c = self.cfg
         feats = np.asarray(feats, np.float32)
         nf = feats.shape[0]
+        if nf == 0:
+            return np.zeros((0,), np.float32)
         lf0 = feats[:, 0]
         vuv = feats[:, 1]
         spec = feats[:, 2 : 2 + c.spec_size]
-        bap = feats[:, 2 + c.spec_size :].copy()
-        # voicing gates the harmonic bank through the noise mask
-        bap[vuv < 0.5] = 1.0
+        bap = feats[:, 2 + c.spec_size :]
 
         nf_pad = -(-nf // FRAME_MULTIPLE) * FRAME_MULTIPLE
 
@@ -162,18 +269,39 @@ class WorldVocoder(Vocoder):
             out[:nf] = a
             return out
 
-        wav = pml_synthesize_amp_core(
-            jnp.asarray(pad(lf0, np.log(100.0))),
-            jnp.asarray(pad(spec, -18.0)),
-            jnp.asarray(pad(bap, 1.0)),
-            fs=c.fs,
-            hop=c.shift_samples,
-            frame_len=c.frame_samples,
-            dftlen=c.dftlen,
-            f0_min=c.f0_min,
-            f0_max=c.f0_max,
-            seed=seed,
-        )
+        if c.closed_loop > 0:
+            wav = world_closed_loop_core(
+                jnp.asarray(pad(lf0, np.log(100.0))),
+                jnp.asarray(pad(vuv, 0.0)),
+                jnp.asarray(pad(spec, -18.0)),
+                jnp.asarray(pad(bap, 1.0)),
+                fs=c.fs,
+                hop=c.shift_samples,
+                frame_len=c.frame_samples,
+                dftlen=c.dftlen,
+                spec_size=c.spec_size,
+                nm_size=c.nm_size,
+                f0_min=c.f0_min,
+                f0_max=c.f0_max,
+                env_time_smooth=c.env_time_smooth,
+                seed=seed,
+                iters=c.closed_loop,
+            )
+        else:
+            nm = bap.copy()
+            nm[vuv < 0.5] = 1.0  # voicing gates the harmonic bank
+            wav = pml_synthesize_amp_core(
+                jnp.asarray(pad(lf0, np.log(100.0))),
+                jnp.asarray(pad(spec, -18.0)),
+                jnp.asarray(pad(nm, 1.0)),
+                fs=c.fs,
+                hop=c.shift_samples,
+                frame_len=c.frame_samples,
+                dftlen=c.dftlen,
+                f0_min=c.f0_min,
+                f0_max=c.f0_max,
+                seed=seed,
+            )
         return np.asarray(wav[: nf * c.shift_samples])
 
     def analyze_batch(self, wavs) -> list:
@@ -207,20 +335,44 @@ class WorldVocoder(Vocoder):
 
         def build(batch, nf_pad):
             lf0 = np.full((chunk, nf_pad), np.log(100.0), np.float32)
+            vuv = np.zeros((chunk, nf_pad), np.float32)
             spec = np.full((chunk, nf_pad, c.spec_size), -18.0, np.float32)
             bap = np.ones((chunk, nf_pad, c.nm_size), np.float32)
             for j, f in enumerate(batch):
                 n = f.shape[0]
                 lf0[j, :n] = f[:, 0]
+                vuv[j, :n] = f[:, 1]
                 spec[j, :n] = f[:, 2 : 2 + c.spec_size]
-                b = f[:, 2 + c.spec_size :].copy()
-                b[f[:, 1] < 0.5] = 1.0  # voicing gates the harmonic bank
-                bap[j, :n] = b
-            return jnp.asarray(lf0), jnp.asarray(spec), jnp.asarray(bap)
+                bap[j, :n] = f[:, 2 + c.spec_size :]
+            return (
+                jnp.asarray(lf0),
+                jnp.asarray(vuv),
+                jnp.asarray(spec),
+                jnp.asarray(bap),
+            )
 
         def run(args):
+            if c.closed_loop > 0:
+                return _world_closed_loop_vmapped(
+                    *args,
+                    fs=c.fs,
+                    hop=c.shift_samples,
+                    frame_len=c.frame_samples,
+                    dftlen=c.dftlen,
+                    spec_size=c.spec_size,
+                    nm_size=c.nm_size,
+                    f0_min=c.f0_min,
+                    f0_max=c.f0_max,
+                    env_time_smooth=c.env_time_smooth,
+                    seed=seed,
+                    iters=c.closed_loop,
+                )
+            lf0s, vuvs, specs, baps = args
+            nms = jnp.where(vuvs[..., None] > 0.5, baps, 1.0)
             return _pml_synthesize_vmapped(
-                *args,
+                lf0s,
+                specs,
+                nms,
                 amp=True,
                 fs=c.fs,
                 hop=c.shift_samples,

@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -212,3 +214,35 @@ def test_aperiodicity_narrow_feature_resolution_limit():
     # smear is bounded to one harmonic interval: beyond f0 away it has decayed
     edge = (centers >= 1050) & (centers <= 1200)
     assert nm[edge].max() < 0.1, nm[edge]
+
+
+def test_world_closed_loop_beats_open_loop(tmp_path):
+    """WORLD's closed-loop rendering (world_closed_loop_core — same
+    operator-bias cancellation as PML's) must improve copy-synthesis.
+    Measured on the demo corpus: 12.1/7.9 → 9.2/4.0 dB mean/median."""
+    import dataclasses
+
+    from percivaltts_tpu.config import VocoderConfig
+    from percivaltts_tpu.data.compose import load_wav
+    from percivaltts_tpu.data.demo import generate_demo_corpus
+    from percivaltts_tpu.eval.measures import per_frame_mcd_np
+    from percivaltts_tpu.vocoders import get_vocoder
+
+    cfg = VocoderConfig(kind="world", fs=FS, spec_size=65, nm_size=17)
+    ids = generate_demo_corpus(str(tmp_path), num_utterances=2, fs=FS, seed=77)
+
+    def run(voc):
+        pfs = []
+        for uid in ids:
+            _, wav = load_wav(os.path.join(str(tmp_path), "wav", uid + ".wav"))
+            f1 = voc.analyze(wav)
+            y = voc.synthesize(f1, seed=0)
+            f2 = voc.analyze(y)
+            n = min(len(f1), len(f2))
+            pfs.append(per_frame_mcd_np(voc.cepstra(f1[:n]), voc.cepstra(f2[:n])))
+        return np.concatenate(pfs)
+
+    pf_c = run(get_vocoder(cfg))
+    pf_o = run(get_vocoder(dataclasses.replace(cfg, closed_loop=0)))
+    assert pf_c.mean() < pf_o.mean() - 0.5, (pf_c.mean(), pf_o.mean())
+    assert np.median(pf_c) < np.median(pf_o) - 0.5
