@@ -156,7 +156,12 @@ def world_closed_loop_core(
     ``world_analyze_core`` → subtract the spec-stream roundtrip error →
     render), with WORLD's explicit vuv stream supplying the voicing gates
     instead of the noise-mask rule."""
-    from percivaltts_tpu.vocoders.pml import CL_BOUNDARY_RADIUS, CL_CLAMP
+    from percivaltts_tpu.vocoders.pml import (
+        CL_BOUNDARY_RADIUS,
+        CL_CLAMP,
+        CL_NEAR_ALPHA,
+        CL_NEAR_CLAMP,
+    )
 
     # voicing gates the harmonic bank through the noise mask
     nm = jnp.where(vuv[:, None] > 0.5, bap, 1.0)
@@ -190,7 +195,8 @@ def world_closed_loop_core(
                 jnp.concatenate([near[:1], near[:-1]]),
             ),
         )
-    far = (1.0 - near)[:, None]
+    alpha = (1.0 - (1.0 - CL_NEAR_ALPHA) * near)[:, None]
+    clamp = (CL_CLAMP - (CL_CLAMP - CL_NEAR_CLAMP) * near)[:, None]
 
     spec_c = spec_w
     for _ in range(iters):
@@ -199,7 +205,7 @@ def world_closed_loop_core(
         spec2 = feats2[:, 2 : 2 + spec_size]
         v2 = (feats2[:, 1] > 0.5).astype(jnp.float32)
         same = (v1 == v2).astype(jnp.float32)[:, None]
-        e = jnp.clip(spec2 - spec_w, -CL_CLAMP, CL_CLAMP) * far * same
+        e = jnp.clip(spec2 - spec_w, -clamp, clamp) * alpha * same
         spec_c = spec_c - e
     return pml_synthesize_amp_core(lf0, spec_c, nm, **syn_kw)
 

@@ -152,10 +152,29 @@ def variants(n_utts: int = 8, seed: int = 1234):
             return out
         return corr
 
-    run_variant("gated+clamp a=1", corr_gated, 1)
-    run_variant("gated d>=2 a=1", make_dist_gated(2), 1)
-    run_variant("gated d>=2 2 iters", make_dist_gated(2), 2)
-    run_variant("gated d>=4 a=1", make_dist_gated(4), 1)
+    def make_profile(prof, clamp_near=0.75):
+        # prof: dict dist->alpha; default alpha 1.0 at d>=4
+        def corr(f1, fc, f2, v1):
+            _, v2 = voc.f0_vuv(f2)
+            same = (v1 > 0.5) == (v2 > 0.5)
+            d1 = boundary_distance(v1)
+            alpha = np.ones(len(f1), np.float32)
+            clamp = np.full(len(f1), 1.5, np.float32)
+            for dd, aa in prof.items():
+                m = d1 == dd
+                alpha[m] = aa
+                clamp[m] = clamp_near
+            e = np.clip(f2[:, s0:s1] - f1[:, s0:s1], -clamp[:, None], clamp[:, None])
+            e *= alpha[:, None]
+            e[~same] = 0.0
+            out = fc.copy(); out[:, s0:s1] = fc[:, s0:s1] - e
+            return out
+        return corr
+
+    run_variant("P4 a=.5 d0123", make_profile({0: 0.5, 1: 0.5, 2: 0.5, 3: 0.5}), 1)
+    run_variant("P5 a=.7 d0123", make_profile({0: 0.7, 1: 0.7, 2: 0.7, 3: 0.7}), 1)
+    run_variant("P6 a=.5 clamp1.2", make_profile({0: 0.5, 1: 0.5, 2: 0.5, 3: 0.5}, 1.2), 1)
+    run_variant("P7 P4 2iters", make_profile({0: 0.5, 1: 0.5, 2: 0.5, 3: 0.5}), 2)
 
 
 if __name__ == "__main__" and os.environ.get("VARIANTS"):

@@ -135,29 +135,30 @@ def test_copy_synthesis_mcd_demo_corpus(voc, tmp_path):
     analyze→synthesize→re-analyze over a miniature demo corpus. Round 1 was
     19.9 dB; round 2 ≈9.6/6.5; round 3 measures 7.27 mean / 3.17 median on
     this 4-utt fixture (harmonic envelope + boundary rendering +
-    closed-loop synthesis). Gates at measured +15% (VERDICT round-2
-    weak 2: track measured, don't double)."""
+    closed-loop synthesis with damped boundary corrections: 7.11/3.01).
+    Gates at measured +15% (VERDICT round-2 weak 2: track measured,
+    don't double)."""
     from percivaltts_tpu.data.demo import generate_demo_corpus
 
     ids = generate_demo_corpus(str(tmp_path), num_utterances=4, fs=FS, seed=1234)
     pf = _copy_synth_per_frame_mcd(voc, str(tmp_path), ids)
-    assert pf.mean() < 8.4, pf.mean()
-    assert np.median(pf) < 3.7, np.median(pf)
+    assert pf.mean() < 8.2, pf.mean()
+    assert np.median(pf) < 3.5, np.median(pf)
 
 
 def test_copy_synthesis_mcd_hard_corpus(voc, tmp_path):
     """Same gate on the HARD demo corpus (plosive bursts, silence clicks,
     wide f0 down to ~62 Hz, amplitude dynamics — VERDICT round-2 item 4).
-    Measured 6.89 mean / 3.71 median with closed-loop synthesis; gates at
-    +15%."""
+    Measured 6.57 mean / 3.42 median with closed-loop synthesis (damped
+    boundary corrections); gates at +15%."""
     from percivaltts_tpu.data.demo import generate_demo_corpus
 
     ids = generate_demo_corpus(
         str(tmp_path), num_utterances=4, fs=FS, seed=1234, hard=True
     )
     pf = _copy_synth_per_frame_mcd(voc, str(tmp_path), ids)
-    assert pf.mean() < 7.9, pf.mean()
-    assert np.median(pf) < 4.3, np.median(pf)
+    assert pf.mean() < 7.6, pf.mean()
+    assert np.median(pf) < 3.9, np.median(pf)
 
 
 def test_synthesize_batch_matches_per_utterance(voc):
