@@ -11,11 +11,50 @@ frames); the class layer only handles numpy conversion and stream slicing.
 
 from __future__ import annotations
 
+import contextlib
+import os
 from typing import Dict, Tuple, Type
 
 import numpy as np
 
 from percivaltts_tpu.config import VocoderConfig
+
+# Sentinel: dsp_scope not yet resolved (None would mean "default placement")
+_DSP_DEVICE_UNSET = object()
+_dsp_device = _DSP_DEVICE_UNSET
+
+
+def dsp_scope():
+    """Device scope for the heavy vocoder DSP jits (analysis and
+    closed-loop synthesis).
+
+    The tunneled TPU runtime used in this environment (PJRT plugin
+    "axon") crashes its worker process on the large fused analysis graphs
+    — measured on the vmapped analyze and closed-loop-synthesis jits,
+    non-deterministically across shapes, while every sub-op (YIN,
+    CheapTrick, harmonic envelope/mask) runs fine in isolation. Training,
+    generator predicts, and the open-loop render are unaffected. Under
+    that runtime vocoder DSP routes to the in-process host CPU backend
+    (same jits, same numerics); real (non-tunneled) TPU runtimes keep DSP
+    on-device. Override with PERCIVAL_DSP_DEVICE=cpu|default."""
+    global _dsp_device
+    if _dsp_device is _DSP_DEVICE_UNSET:
+        import jax
+
+        mode = os.environ.get("PERCIVAL_DSP_DEVICE", "auto")
+        if mode == "cpu":
+            _dsp_device = jax.devices("cpu")[0]
+        elif mode == "default":
+            _dsp_device = None
+        else:  # auto
+            d = jax.devices()[0]
+            ver = getattr(d.client, "platform_version", "") or ""
+            _dsp_device = jax.devices("cpu")[0] if "axon" in ver else None
+    if _dsp_device is None:
+        return contextlib.nullcontext()
+    import jax
+
+    return jax.default_device(_dsp_device)
 
 
 class Vocoder:

@@ -58,6 +58,7 @@ from percivaltts_tpu.ops.warp import unwarp_matrix, warp_matrix
 from percivaltts_tpu.vocoders.base import (
     Vocoder,
     chunked_synthesize_batch,
+    dsp_scope,
     register,
     stacked_analyze_batch,
 )
@@ -874,19 +875,20 @@ class PMLVocoder(Vocoder):
     def analyze(self, wav: np.ndarray) -> np.ndarray:
         c = self.cfg
         wav_p, nf = self._pad_wav(np.asarray(wav, np.float32))
-        feats, _ = pml_analyze_core(
-            jnp.asarray(wav_p),
-            fs=c.fs,
-            hop=c.shift_samples,
-            frame_len=c.frame_samples,
-            dftlen=c.dftlen,
-            spec_size=c.spec_size,
-            nm_size=c.nm_size,
-            f0_min=c.f0_min,
-            f0_max=c.f0_max,
-            envelope=c.envelope,
-            env_time_smooth=c.env_time_smooth,
-        )
+        with dsp_scope():
+            feats, _ = pml_analyze_core(
+                jnp.asarray(wav_p),
+                fs=c.fs,
+                hop=c.shift_samples,
+                frame_len=c.frame_samples,
+                dftlen=c.dftlen,
+                spec_size=c.spec_size,
+                nm_size=c.nm_size,
+                f0_min=c.f0_min,
+                f0_max=c.f0_max,
+                envelope=c.envelope,
+                env_time_smooth=c.env_time_smooth,
+            )
         return np.asarray(feats[:nf])
 
     def _pad_feats(self, feats: np.ndarray, nf_pad: int) -> np.ndarray:
@@ -916,21 +918,22 @@ class PMLVocoder(Vocoder):
             jnp.asarray(fp[:, 1 + c.spec_size :]),
         )
         if amp and c.closed_loop > 0:
-            wav = pml_closed_loop_core(
-                *args,
-                fs=c.fs,
-                hop=c.shift_samples,
-                frame_len=c.frame_samples,
-                dftlen=c.dftlen,
-                spec_size=c.spec_size,
-                nm_size=c.nm_size,
-                f0_min=c.f0_min,
-                f0_max=c.f0_max,
-                envelope=c.envelope,
-                env_time_smooth=c.env_time_smooth,
-                seed=seed,
-                iters=c.closed_loop,
-            )
+            with dsp_scope():
+                wav = pml_closed_loop_core(
+                    *args,
+                    fs=c.fs,
+                    hop=c.shift_samples,
+                    frame_len=c.frame_samples,
+                    dftlen=c.dftlen,
+                    spec_size=c.spec_size,
+                    nm_size=c.nm_size,
+                    f0_min=c.f0_min,
+                    f0_max=c.f0_max,
+                    envelope=c.envelope,
+                    env_time_smooth=c.env_time_smooth,
+                    seed=seed,
+                    iters=c.closed_loop,
+                )
         else:
             core = pml_synthesize_amp_core if amp else pml_synthesize_core
             wav = core(
@@ -965,21 +968,22 @@ class PMLVocoder(Vocoder):
 
         def run(args):
             if amp and c.closed_loop > 0:
-                return _pml_closed_loop_vmapped(
-                    *args,
-                    fs=c.fs,
-                    hop=c.shift_samples,
-                    frame_len=c.frame_samples,
-                    dftlen=c.dftlen,
-                    spec_size=c.spec_size,
-                    nm_size=c.nm_size,
-                    f0_min=c.f0_min,
-                    f0_max=c.f0_max,
-                    envelope=c.envelope,
-                    env_time_smooth=c.env_time_smooth,
-                    seed=seed,
-                    iters=c.closed_loop,
-                )
+                with dsp_scope():
+                    return _pml_closed_loop_vmapped(
+                        *args,
+                        fs=c.fs,
+                        hop=c.shift_samples,
+                        frame_len=c.frame_samples,
+                        dftlen=c.dftlen,
+                        spec_size=c.spec_size,
+                        nm_size=c.nm_size,
+                        f0_min=c.f0_min,
+                        f0_max=c.f0_max,
+                        envelope=c.envelope,
+                        env_time_smooth=c.env_time_smooth,
+                        seed=seed,
+                        iters=c.closed_loop,
+                    )
             return _pml_synthesize_vmapped(
                 *args,
                 amp=amp,
@@ -1002,19 +1006,20 @@ class PMLVocoder(Vocoder):
         c = self.cfg
 
         def run(stack):
-            feats, _ = _pml_analyze_vmapped(
-                jnp.asarray(stack),
-                fs=c.fs,
-                hop=c.shift_samples,
-                frame_len=c.frame_samples,
-                dftlen=c.dftlen,
-                spec_size=c.spec_size,
-                nm_size=c.nm_size,
-                f0_min=c.f0_min,
-                f0_max=c.f0_max,
-                envelope=c.envelope,
-                env_time_smooth=c.env_time_smooth,
-            )
+            with dsp_scope():
+                feats, _ = _pml_analyze_vmapped(
+                    jnp.asarray(stack),
+                    fs=c.fs,
+                    hop=c.shift_samples,
+                    frame_len=c.frame_samples,
+                    dftlen=c.dftlen,
+                    spec_size=c.spec_size,
+                    nm_size=c.nm_size,
+                    f0_min=c.f0_min,
+                    f0_max=c.f0_max,
+                    envelope=c.envelope,
+                    env_time_smooth=c.env_time_smooth,
+                )
             return feats
 
         return stacked_analyze_batch(

@@ -40,6 +40,7 @@ from percivaltts_tpu.ops.warp import warp_matrix
 from percivaltts_tpu.vocoders.base import (
     Vocoder,
     chunked_synthesize_batch,
+    dsp_scope,
     register,
     stacked_analyze_batch,
 )
@@ -244,17 +245,18 @@ class WorldVocoder(Vocoder):
         nf_pad = -(-nf // FRAME_MULTIPLE) * FRAME_MULTIPLE
         wav_p = np.zeros(nf_pad * hop, dtype=np.float32)
         wav_p[: len(wav)] = np.asarray(wav, np.float32)
-        feats = world_analyze_core(
-            jnp.asarray(wav_p),
-            fs=c.fs,
-            hop=hop,
-            dftlen=c.dftlen,
-            spec_size=c.spec_size,
-            nm_size=c.nm_size,
-            f0_min=c.f0_min,
-            f0_max=c.f0_max,
-            env_time_smooth=c.env_time_smooth,
-        )
+        with dsp_scope():
+            feats = world_analyze_core(
+                jnp.asarray(wav_p),
+                fs=c.fs,
+                hop=hop,
+                dftlen=c.dftlen,
+                spec_size=c.spec_size,
+                nm_size=c.nm_size,
+                f0_min=c.f0_min,
+                f0_max=c.f0_max,
+                env_time_smooth=c.env_time_smooth,
+            )
         return np.asarray(feats[:nf])
 
     def synthesize(self, feats: np.ndarray, seed: int = 0) -> np.ndarray:
@@ -276,23 +278,24 @@ class WorldVocoder(Vocoder):
             return out
 
         if c.closed_loop > 0:
-            wav = world_closed_loop_core(
-                jnp.asarray(pad(lf0, np.log(100.0))),
-                jnp.asarray(pad(vuv, 0.0)),
-                jnp.asarray(pad(spec, -18.0)),
-                jnp.asarray(pad(bap, 1.0)),
-                fs=c.fs,
-                hop=c.shift_samples,
-                frame_len=c.frame_samples,
-                dftlen=c.dftlen,
-                spec_size=c.spec_size,
-                nm_size=c.nm_size,
-                f0_min=c.f0_min,
-                f0_max=c.f0_max,
-                env_time_smooth=c.env_time_smooth,
-                seed=seed,
-                iters=c.closed_loop,
-            )
+            with dsp_scope():
+                wav = world_closed_loop_core(
+                    jnp.asarray(pad(lf0, np.log(100.0))),
+                    jnp.asarray(pad(vuv, 0.0)),
+                    jnp.asarray(pad(spec, -18.0)),
+                    jnp.asarray(pad(bap, 1.0)),
+                    fs=c.fs,
+                    hop=c.shift_samples,
+                    frame_len=c.frame_samples,
+                    dftlen=c.dftlen,
+                    spec_size=c.spec_size,
+                    nm_size=c.nm_size,
+                    f0_min=c.f0_min,
+                    f0_max=c.f0_max,
+                    env_time_smooth=c.env_time_smooth,
+                    seed=seed,
+                    iters=c.closed_loop,
+                )
         else:
             nm = bap.copy()
             nm[vuv < 0.5] = 1.0  # voicing gates the harmonic bank
@@ -316,17 +319,18 @@ class WorldVocoder(Vocoder):
         c = self.cfg
 
         def run(stack):
-            return _world_analyze_vmapped(
-                jnp.asarray(stack),
-                fs=c.fs,
-                hop=c.shift_samples,
-                dftlen=c.dftlen,
-                spec_size=c.spec_size,
-                nm_size=c.nm_size,
-                f0_min=c.f0_min,
-                f0_max=c.f0_max,
-                env_time_smooth=c.env_time_smooth,
-            )
+            with dsp_scope():
+                return _world_analyze_vmapped(
+                    jnp.asarray(stack),
+                    fs=c.fs,
+                    hop=c.shift_samples,
+                    dftlen=c.dftlen,
+                    spec_size=c.spec_size,
+                    nm_size=c.nm_size,
+                    f0_min=c.f0_min,
+                    f0_max=c.f0_max,
+                    env_time_smooth=c.env_time_smooth,
+                )
 
         return stacked_analyze_batch(
             [self._check_wav(w) for w in wavs], FRAME_MULTIPLE, c.shift_samples, run
@@ -359,20 +363,21 @@ class WorldVocoder(Vocoder):
 
         def run(args):
             if c.closed_loop > 0:
-                return _world_closed_loop_vmapped(
-                    *args,
-                    fs=c.fs,
-                    hop=c.shift_samples,
-                    frame_len=c.frame_samples,
-                    dftlen=c.dftlen,
-                    spec_size=c.spec_size,
-                    nm_size=c.nm_size,
-                    f0_min=c.f0_min,
-                    f0_max=c.f0_max,
-                    env_time_smooth=c.env_time_smooth,
-                    seed=seed,
-                    iters=c.closed_loop,
-                )
+                with dsp_scope():
+                    return _world_closed_loop_vmapped(
+                        *args,
+                        fs=c.fs,
+                        hop=c.shift_samples,
+                        frame_len=c.frame_samples,
+                        dftlen=c.dftlen,
+                        spec_size=c.spec_size,
+                        nm_size=c.nm_size,
+                        f0_min=c.f0_min,
+                        f0_max=c.f0_max,
+                        env_time_smooth=c.env_time_smooth,
+                        seed=seed,
+                        iters=c.closed_loop,
+                    )
             lf0s, vuvs, specs, baps = args
             nms = jnp.where(vuvs[..., None] > 0.5, baps, 1.0)
             return _pml_synthesize_vmapped(

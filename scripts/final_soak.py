@@ -1,0 +1,125 @@
+"""Round-3 final integration soak: WGAN-GP on the demo corpus at
+production-ish scale, MCD-selected checkpoint, generation + objective
+measures through the closed-loop vocoder.
+
+Run (TPU): PYTHONPATH=. python scripts/final_soak.py [root] [epochs] [n_utts] [hard]
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+from percivaltts_tpu.config import (
+    Configuration,
+    DataConfig,
+    ModelConfig,
+    TrainConfig,
+    VocoderConfig,
+)
+from percivaltts_tpu.utils.logging import print_log
+
+
+def main(
+    root: str = "/tmp/soak_r3",
+    epochs: int = 40,
+    n_utts: int = 400,
+    hard: int = 0,
+):
+    from percivaltts_tpu.data.demo import generate_demo_corpus
+
+    corpus = os.path.join(root, "corpus")
+    if not os.path.isdir(os.path.join(corpus, "wav")):
+        generate_demo_corpus(
+            corpus, num_utterances=n_utts, fs=16000, seed=777, hard=bool(hard)
+        )
+
+    cfg = Configuration(
+        workdir=os.path.join(root, "exp"),
+        data=DataConfig(
+            corpus_dir=corpus,
+            question_file=os.path.join(corpus, "questions.hed"),
+            fileids=os.path.join(corpus, "fileids.scp"),
+            num_valid=25,
+            num_test=25,
+            batch_size=16,
+            bucket_bounds=(256,),
+            label_dim=0,
+        ),
+        vocoder=VocoderConfig(kind="pml", fs=16000, spec_size=33, nm_size=17),
+        model=ModelConfig(
+            generator="cnn_blstm",
+            hidden_size=256,
+            blstm_size=256,
+            cnn_blocks=3,
+            critic_channels=32,
+            critic_blocks=4,
+            critic_hidden=256,
+        ),
+        train=TrainConfig(
+            trainer="wgan",
+            epochs=epochs,
+            steps_per_epoch=50,
+            lse_weight=0.25,
+            stream_weights=(("f0", 8.0), ("spec", 1.0), ("nm", 1.0)),
+            checkpoint_every=5,
+            keep_checkpoints=2,
+            measures_every=5,
+            best_metric="mcd",
+            patience=10**6,
+            device_corpus=True,
+            seed=321,
+        ),
+    )
+
+    from percivaltts_tpu.cli import cmd_generate, cmd_train
+
+    class A:
+        config = None
+        resume = False
+        mesh = False
+        distributed = False
+        on_device_norm = False
+        device_corpus = True
+        checkpoint = None
+        latest = False
+        split = "test"
+        no_wav = False
+        save_features = False
+
+    os.makedirs(cfg.workdir, exist_ok=True)
+    cfgpath = os.path.join(cfg.workdir, "config.json")
+    with open(cfgpath, "w") as f:
+        json.dump(cfg.to_dict(), f)
+    A.config = cfgpath
+    # analysis on CPU in a subprocess (see scripts/gan_study.py rationale)
+    subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax; jax.config.update('jax_platforms', 'cpu');"
+            "import sys; from percivaltts_tpu.cli import main;"
+            f"sys.exit(main(['compose', '--config', {cfgpath!r}]))",
+        ],
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        check=True,
+    )
+    cmd_train(A)
+    import time
+
+    t0 = time.time()
+    cmd_generate(A)
+    print_log(f"generation stage (incl. closed-loop synthesis): {time.time()-t0:.1f} s")
+    with open(os.path.join(cfg.workdir, "measures.json")) as f:
+        m = json.load(f)
+    print_log(f"final soak measures: {m}")
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    main(
+        a[0] if len(a) > 0 else "/tmp/soak_r3",
+        int(a[1]) if len(a) > 1 else 40,
+        int(a[2]) if len(a) > 2 else 400,
+        int(a[3]) if len(a) > 3 else 0,
+    )
