@@ -80,6 +80,14 @@ NOISE_CAL = 0.97
 # scripts/boundary_diag.py).
 GATE_MIN_GAP = 1.5
 
+# Window-power-fraction at which the rendered attack/release switches on
+# (see pml_synthesize_amp_core): w = 1/2 is the exact window-centered-on-
+# the-step point. Swept on scripts/boundary_diag.py (12 utts, closed loop):
+# 0.50 → 5.70 mean / 2.27% flips, 0.56 → 5.62 / 2.15%, 0.62 → 5.68 / 2.31%,
+# 0.70 → 5.84 / 2.43%; U→V resynth edge shifts are best-centered at 0.56
+# (+0 mode 23/30, no +1 tail).
+GATE_THETA = 0.56
+
 # Voiced-run edge frames whose harmonic amplitudes/phases are replaced by
 # the nearest interior frame's values before rendering (de-smearing the
 # attack — see pml_synthesize_amp_core).
@@ -393,6 +401,7 @@ def pml_synthesize_core(
         "f0_max",
         "noise_mod",
         "min_phase",
+        "gate_theta",
     ),
 )
 def pml_synthesize_amp_core(
@@ -408,6 +417,7 @@ def pml_synthesize_amp_core(
     seed: int = 0,
     noise_mod: float = 0.4,
     min_phase: bool = True,
+    gate_theta: float = GATE_THETA,
 ) -> jax.Array:
     """Amplitude-convention (cheaptrick) synthesis: harmonics carry the
     envelope's *minimum-phase* response (cepstrum → causal-cepstrum fold →
@@ -609,7 +619,7 @@ def pml_synthesize_amp_core(
     )
     w_fin = jnp.where(ok, w_frac, v_er)[:, 0]  # (nf,)
     w_s = w_fin[i0] * (1.0 - w1) + w_fin[i0 + 1] * w1
-    step = (w_s > 0.62).astype(jnp.float32)
+    step = (w_s > gate_theta).astype(jnp.float32)
     # mask to within one frame of the voiced region so plateau noise in w
     # far from any boundary cannot leak harmonics
     v_dil = jnp.maximum(
