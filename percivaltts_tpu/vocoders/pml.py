@@ -700,6 +700,14 @@ CL_BOUNDARY_RADIUS = 4
 CL_CLAMP = 1.5
 CL_NEAR_ALPHA = 0.5
 CL_NEAR_CLAMP = 1.2
+# Interior (far-from-flip) correction gain. The roundtrip operator's
+# response to a spec perturbation is slightly below identity (its Jacobian
+# smears corrections over time/frequency), so a mild overcorrection
+# recovers a bit more of the repeatable bias. Swept on
+# scripts/boundary_diag.py (12 utts, seeds 1234/777): 1.0 → 5.62/5.51 mean,
+# 1.1 → 5.57/5.45 (steady 3.15→3.07, flips unchanged), 1.2 → 5.60 with
+# flips +0.08pt, 1.3 → worse. CL_NEAR_ALPHA stays the boundary-frame gain.
+CL_FULL_ALPHA = 1.1
 
 
 def _vuv_from_nm(nm_w: jax.Array) -> jax.Array:
@@ -791,7 +799,9 @@ def pml_closed_loop_core(
                 jnp.concatenate([near[:1], near[:-1]]),
             ),
         )
-    alpha = (1.0 - (1.0 - CL_NEAR_ALPHA) * near)[:, None]  # (nf, 1)
+    alpha = (CL_FULL_ALPHA - (CL_FULL_ALPHA - CL_NEAR_ALPHA) * near)[
+        :, None
+    ]  # (nf, 1)
     clamp = (CL_CLAMP - (CL_CLAMP - CL_NEAR_CLAMP) * near)[:, None]
 
     spec_c = spec_w
