@@ -118,24 +118,30 @@ def estimate_f0(
     fallback = jnp.where(has_trough, first_near, global_min)
     tau_star = jnp.where(has_below, first_below, fallback)
 
-    # sub-period rescue: when a formant sits on harmonic 3k the signal has a
-    # genuine CMND trough at 2T0/3 (harmonics that are multiples of 3 cancel
-    # there) which "first trough below threshold" picks before the true
-    # period — read as 1.5·f0. Measured on the demo corpus: runs of frames
-    # at exactly 1.5× truth with dn(2T0/3)≈0.09–0.13 vs dn(T0)≈0.005–0.08.
-    # Jump to the trough near 1.5·τ* iff it is markedly deeper; both guards
-    # keep true-period picks from jumping (dn at 1.5·T0 is large whenever
-    # any non-multiple-of-3 harmonic carries power, and near-noise-floor
-    # picks — d* ≤ 0.02 — never move).
-    d_star = jnp.take_along_axis(dn, tau_star[:, None], axis=-1)[:, 0]
-    target = 1.5 * tau_star.astype(jnp.float32)
-    tol = jnp.maximum(2.0, 0.06 * target)
-    win = trough & (jnp.abs(tau[None, :].astype(jnp.float32) - target[:, None]) <= tol[:, None])
-    cand_dn_all = jnp.where(win, dn, jnp.inf)
-    cand_dn = jnp.min(cand_dn_all, axis=-1)
-    cand_ix = jnp.argmin(cand_dn_all, axis=-1)
-    jump = jnp.isfinite(cand_dn) & (cand_dn < 0.8 * d_star) & (d_star > 0.02)
-    tau_star = jnp.where(jump, cand_ix, tau_star)
+    # sub-period rescue: when a formant sits on harmonic m·k the signal has
+    # a genuine CMND trough at (m−1)·T0/m (harmonics that are multiples of
+    # m survive there) which "first trough below threshold" picks before
+    # the true period — read as m/(m−1)·f0. Measured on the demo corpus:
+    # runs of frames at exactly 1.5× truth (m=3: dn(2T0/3)≈0.09–0.13 vs
+    # dn(T0)≈0.005–0.08) and at 4/3× truth (m=4, a 4-frame 153→201.5 Hz
+    # glitch that octave-confused vocoder re-analysis). Jump to the trough
+    # near m/(m−1)·τ* iff it is markedly deeper; the guards keep
+    # true-period picks from jumping (dn at the longer lag is large
+    # whenever any non-multiple-of-m harmonic carries power, and
+    # near-noise-floor picks — d* ≤ 0.02 — never move).
+    for ratio in (1.5, 4.0 / 3.0):
+        d_star = jnp.take_along_axis(dn, tau_star[:, None], axis=-1)[:, 0]
+        target = ratio * tau_star.astype(jnp.float32)
+        tol = jnp.maximum(2.0, 0.06 * target)
+        win = trough & (
+            jnp.abs(tau[None, :].astype(jnp.float32) - target[:, None])
+            <= tol[:, None]
+        )
+        cand_dn_all = jnp.where(win, dn, jnp.inf)
+        cand_dn = jnp.min(cand_dn_all, axis=-1)
+        cand_ix = jnp.argmin(cand_dn_all, axis=-1)
+        jump = jnp.isfinite(cand_dn) & (cand_dn < 0.8 * d_star) & (d_star > 0.02)
+        tau_star = jnp.where(jump, cand_ix, tau_star)
 
     # parabolic interpolation around the chosen lag
     i = jnp.clip(tau_star, 1, tau_max - 2)

@@ -93,6 +93,11 @@ GATE_THETA = 0.56
 # attack — see pml_synthesize_amp_core).
 EDGE_BACKFILL = 2
 
+# Frames within this distance of a voicing edge use the window-power-
+# fraction crossing to place the rendered attack/release; deeper frames
+# follow the voicing bit directly (see pml_synthesize_amp_core).
+GATE_EDGE_RADIUS = 6
+
 # utterances are padded to a multiple of this many frames before the jitted
 # cores run (bounded compile-variant count)
 FRAME_MULTIPLE = 128
@@ -618,6 +623,25 @@ def pml_synthesize_amp_core(
         ),
     )
     w_fin = jnp.where(ok, w_frac, v_er)[:, 0]  # (nf,)
+    # The w-based edge placement owns only frames NEAR a voicing edge:
+    # deep inside a voiced run a quiet phone's energy dip can push w below
+    # the crossing and silence the harmonics mid-run (measured: interior
+    # voiced frames re-read as unvoiced, ~35 dB per-frame MCD). Beyond
+    # GATE_EDGE_RADIUS frames of any edge the gate follows the voicing bit.
+    vb = voiced_f > 0.5
+    edge = jnp.concatenate(
+        [jnp.zeros((1,), bool), vb[1:] != vb[:-1]]
+    ).astype(jnp.float32)
+    near_edge = edge
+    for _ in range(GATE_EDGE_RADIUS):
+        near_edge = jnp.maximum(
+            near_edge,
+            jnp.maximum(
+                jnp.concatenate([near_edge[1:], near_edge[-1:]]),
+                jnp.concatenate([near_edge[:1], near_edge[:-1]]),
+            ),
+        )
+    w_fin = jnp.where(near_edge > 0.5, w_fin, voiced_f)
     w_s = w_fin[i0] * (1.0 - w1) + w_fin[i0 + 1] * w1
     step = (w_s > gate_theta).astype(jnp.float32)
     # mask to within one frame of the voiced region so plateau noise in w
@@ -805,13 +829,41 @@ def pml_closed_loop_core(
     clamp = (CL_CLAMP - (CL_CLAMP - CL_NEAR_CLAMP) * near)[:, None]
 
     spec_c = spec_w
-    for _ in range(iters):
+    for it in range(iters):
         wav = pml_synthesize_amp_core(lf0, spec_c, nm_w, **syn_kw)
         feats2, _ = pml_analyze_core(wav, **ana_kw)
         spec2 = feats2[:, 1 : 1 + spec_size]
-        v2 = _vuv_from_nm(feats2[:, 1 + spec_size :])
+        nm2 = feats2[:, 1 + spec_size :]
+        v2 = _vuv_from_nm(nm2)
         same = (v1 == v2).astype(jnp.float32)[:, None]
-        e = jnp.clip(spec2 - spec_w, -clamp, clamp) * alpha * same
+        if it == 0:
+            a_it, c_it = alpha, clamp
+        else:
+            # Iterations beyond the first correct INTERIOR frames only and
+            # under a tighter clamp: the residual there is ~90% repeatable
+            # operator bias (corr +0.93 voiced between independent-seed
+            # renders, scripts/residual_repeat.py) so a second pass cancels
+            # more of it, but near-boundary corrections destabilize the
+            # rendered edges, and large second corrections flip frames
+            # whose voicing reading is marginal. ``marg`` additionally
+            # damps frames whose re-analysis noise-mask low-band mean sits
+            # within 0.15 of the voicing threshold (_vuv_from_nm).
+            low2 = jnp.mean(
+                nm2[:, : max(nm_size // 4, 1)], axis=-1
+            )
+            marg = jnp.clip(jnp.abs(low2 - 0.75) / 0.15, 0.0, 1.0)[:, None]
+            far = 1.0 - near
+            for _ in range(CL_BOUNDARY_RADIUS):
+                far = jnp.minimum(
+                    far,
+                    jnp.minimum(
+                        jnp.concatenate([far[1:], far[-1:]]),
+                        jnp.concatenate([far[:1], far[:-1]]),
+                    ),
+                )
+            a_it = CL_FULL_ALPHA * far[:, None] * marg
+            c_it = 0.8
+        e = jnp.clip(spec2 - spec_w, -c_it, c_it) * a_it * same
         spec_c = spec_c - e
     return pml_synthesize_amp_core(lf0, spec_c, nm_w, **syn_kw)
 
@@ -912,15 +964,29 @@ class PMLVocoder(Vocoder):
         return np.asarray(feats[:nf])
 
     def _pad_feats(self, feats: np.ndarray, nf_pad: int) -> np.ndarray:
-        """Pad (frames, F) features to ``nf_pad`` frames with a silence tail
-        (held lf0, floor envelope, all-noise mask)."""
-        c = self.cfg
+        """Pad (frames, F) features to ``nf_pad`` frames by replicating the
+        last real frame.
+
+        The pad tail must be ANALYSIS-CONSISTENT, not silent: the closed
+        loop re-analyzes the padded render, and a silence-cliff tail
+        (floor envelope, all-noise mask — the round-2 padding) dragged the
+        analyzer's time-smoothed readings of the last ~5 real frames down
+        by 0.5–4 nats. The loop then "corrected" those frames up by the
+        clamp, leaving ~1 nat of error on every utterance ending (measured:
+        scripts/residual_repeat.py; the outer analyses never see the tail
+        because they run on the truncated waveform). Replicating the last
+        frame renders a steady continuation the re-analysis reads at the
+        same level, so end-frame corrections stay unbiased; the rendered
+        tail is cut off by the caller either way."""
         nf = feats.shape[0]
         fp = np.zeros((nf_pad, feats.shape[1]), np.float32)
         fp[:nf] = feats
-        fp[nf:, 0] = feats[-1, 0] if nf else np.log(100.0)
-        fp[nf:, 1 + c.spec_size :] = 1.0  # pure noise, zero envelope tail
-        fp[nf:, 1 : 1 + c.spec_size] = -18.0
+        if nf:
+            fp[nf:] = feats[-1]
+        else:
+            fp[:, 0] = np.log(100.0)
+            fp[:, 1 + self.cfg.spec_size :] = 1.0
+            fp[:, 1 : 1 + self.cfg.spec_size] = -18.0
         return fp
 
     def synthesize(self, feats: np.ndarray, seed: int = 0) -> np.ndarray:

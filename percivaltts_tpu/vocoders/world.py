@@ -160,6 +160,7 @@ def world_closed_loop_core(
     from percivaltts_tpu.vocoders.pml import (
         CL_BOUNDARY_RADIUS,
         CL_CLAMP,
+        CL_FULL_ALPHA,
         CL_NEAR_ALPHA,
         CL_NEAR_CLAMP,
     )
@@ -196,17 +197,32 @@ def world_closed_loop_core(
                 jnp.concatenate([near[:1], near[:-1]]),
             ),
         )
-    alpha = (1.0 - (1.0 - CL_NEAR_ALPHA) * near)[:, None]
+    alpha = (CL_FULL_ALPHA - (CL_FULL_ALPHA - CL_NEAR_ALPHA) * near)[:, None]
     clamp = (CL_CLAMP - (CL_CLAMP - CL_NEAR_CLAMP) * near)[:, None]
 
     spec_c = spec_w
-    for _ in range(iters):
+    for it in range(iters):
         wav = pml_synthesize_amp_core(lf0, spec_c, nm, **syn_kw)
         feats2 = world_analyze_core(wav, **ana_kw)
         spec2 = feats2[:, 2 : 2 + spec_size]
         v2 = (feats2[:, 1] > 0.5).astype(jnp.float32)
         same = (v1 == v2).astype(jnp.float32)[:, None]
-        e = jnp.clip(spec2 - spec_w, -clamp, clamp) * alpha * same
+        if it == 0:
+            a_it, c_it = alpha, clamp
+        else:
+            # iterations beyond the first: interior-only, tighter clamp
+            # (same rationale as pml_closed_loop_core)
+            far = 1.0 - near
+            for _ in range(CL_BOUNDARY_RADIUS):
+                far = jnp.minimum(
+                    far,
+                    jnp.minimum(
+                        jnp.concatenate([far[1:], far[-1:]]),
+                        jnp.concatenate([far[:1], far[:-1]]),
+                    ),
+                )
+            a_it, c_it = CL_FULL_ALPHA * far[:, None], 0.8
+        e = jnp.clip(spec2 - spec_w, -c_it, c_it) * a_it * same
         spec_c = spec_c - e
     return pml_synthesize_amp_core(lf0, spec_c, nm, **syn_kw)
 
@@ -273,8 +289,14 @@ class WorldVocoder(Vocoder):
         nf_pad = -(-nf // FRAME_MULTIPLE) * FRAME_MULTIPLE
 
         def pad(a, fill):
+            # replicate the last real frame: the closed loop re-analyzes the
+            # padded render, and a silence-cliff tail biases the analyzer's
+            # time-smoothed readings of the last ~5 real frames (see
+            # pml.VocoderPML._pad_feats)
             out = np.full((nf_pad,) + a.shape[1:], fill, np.float32)
             out[:nf] = a
+            if nf:
+                out[nf:] = a[-1]
             return out
 
         if c.closed_loop > 0:
@@ -354,6 +376,11 @@ class WorldVocoder(Vocoder):
                 vuv[j, :n] = f[:, 1]
                 spec[j, :n] = f[:, 2 : 2 + c.spec_size]
                 bap[j, :n] = f[:, 2 + c.spec_size :]
+                if n:  # analysis-consistent tail (see synthesize's pad)
+                    lf0[j, n:] = f[-1, 0]
+                    vuv[j, n:] = f[-1, 1]
+                    spec[j, n:] = f[-1, 2 : 2 + c.spec_size]
+                    bap[j, n:] = f[-1, 2 + c.spec_size :]
             return (
                 jnp.asarray(lf0),
                 jnp.asarray(vuv),

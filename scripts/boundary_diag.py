@@ -38,7 +38,13 @@ def boundary_distance(vuv: np.ndarray) -> np.ndarray:
 
 
 def main(n_utts: int = 12, seed: int = 1234, hard: int = 0):
-    cfg = VocoderConfig(kind="pml", fs=16000, spec_size=65, nm_size=33)
+    cfg = VocoderConfig(
+        kind="pml",
+        fs=16000,
+        spec_size=65,
+        nm_size=33,
+        closed_loop=int(os.environ.get("CL_ITERS", "1")),
+    )
     voc = get_vocoder(cfg)
     # reuse the corpus across experiment runs (same n_utts/seed); set
     # BDIAG_ROOT to pin a location, delete it to force regeneration

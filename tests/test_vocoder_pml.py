@@ -133,23 +133,24 @@ def _copy_synth_per_frame_mcd(voc, root, ids):
 def test_copy_synthesis_mcd_demo_corpus(voc, tmp_path):
     """The copy-synthesis fidelity gate (VERDICT round 1 item 2): MCD of
     analyze→synthesize→re-analyze over a miniature demo corpus. Round 1 was
-    19.9 dB; round 2 ≈9.6/6.5; round 3 measures 7.27 mean / 3.17 median on
+    19.9 dB; round 2 ≈9.6/6.5; round 3 measures 4.53 mean / 2.75 median on
     this 4-utt fixture (harmonic envelope + boundary rendering +
-    closed-loop synthesis with damped boundary corrections: 7.11/3.01).
+    closed-loop synthesis with damped boundary corrections + the f0
+    sub-period rescue family + analysis-consistent feature padding).
     Gates at measured +15% (VERDICT round-2 weak 2: track measured,
     don't double)."""
     from percivaltts_tpu.data.demo import generate_demo_corpus
 
     ids = generate_demo_corpus(str(tmp_path), num_utterances=4, fs=FS, seed=1234)
     pf = _copy_synth_per_frame_mcd(voc, str(tmp_path), ids)
-    assert pf.mean() < 8.2, pf.mean()
-    assert np.median(pf) < 3.5, np.median(pf)
+    assert pf.mean() < 5.2, pf.mean()
+    assert np.median(pf) < 3.2, np.median(pf)
 
 
 def test_copy_synthesis_mcd_hard_corpus(voc, tmp_path):
     """Same gate on the HARD demo corpus (plosive bursts, silence clicks,
     wide f0 down to ~62 Hz, amplitude dynamics — VERDICT round-2 item 4).
-    Measured 6.57 mean / 3.42 median with closed-loop synthesis (damped
+    Measured 6.36 mean / 3.33 median with closed-loop synthesis (damped
     boundary corrections); gates at +15%."""
     from percivaltts_tpu.data.demo import generate_demo_corpus
 
@@ -157,8 +158,8 @@ def test_copy_synthesis_mcd_hard_corpus(voc, tmp_path):
         str(tmp_path), num_utterances=4, fs=FS, seed=1234, hard=True
     )
     pf = _copy_synth_per_frame_mcd(voc, str(tmp_path), ids)
-    assert pf.mean() < 7.6, pf.mean()
-    assert np.median(pf) < 3.9, np.median(pf)
+    assert pf.mean() < 7.3, pf.mean()
+    assert np.median(pf) < 3.8, np.median(pf)
 
 
 def test_synthesize_batch_matches_per_utterance(voc):
