@@ -719,7 +719,11 @@ def pml_synthesize_amp_core(
 # full strength, clamped to ±CL_CLAMP (outlier readings near flips would
 # otherwise overshoot). Profile measured on scripts/closed_loop_proto.py
 # (12-utt sweep: damped-boundary 5.53 dB mean vs 5.93 hard-gated, flips
-# 2.66% vs 2.93%).
+# 2.66% vs 2.93%). Re-swept after the session-2 fixes
+# (scripts/cl_gate_sweep.py, 8 utts, seeds 1234/777): NA=0.65 improves
+# seed 1234 (mean 4.64→4.58, flips 1.49→1.43%) but regresses seed-777
+# flips 1.51→1.99% — rejected; BR=3/2 and NC=1.5 no better. The profile
+# below is a validated plateau.
 CL_BOUNDARY_RADIUS = 4
 CL_CLAMP = 1.5
 CL_NEAR_ALPHA = 0.5

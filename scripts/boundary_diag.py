@@ -39,7 +39,7 @@ def boundary_distance(vuv: np.ndarray) -> np.ndarray:
 
 def main(n_utts: int = 12, seed: int = 1234, hard: int = 0):
     cfg = VocoderConfig(
-        kind="pml",
+        kind=os.environ.get("VOC_KIND", "pml"),
         fs=16000,
         spec_size=65,
         nm_size=33,
