@@ -51,9 +51,13 @@ class VocoderConfig:
     # analyze∘synthesize operator carries a repeating per-frame/band bias
     # (scripts/double_roundtrip.py: error autocorrelation +0.67, slope 0.5
     # across consecutive roundtrips), so one pre-compensation pass cancels
-    # it: steady-state copy-synthesis 5.6 → 3.2 dB MCD measured. 0 = open
-    # loop (one render, 3× cheaper)
-    closed_loop: int = 1
+    # it: steady-state copy-synthesis 5.6 → 3.2 dB MCD measured. Iterations
+    # beyond the first correct interior frames only, under a tighter clamp
+    # and with the voicing-deciding low bands frozen (pml.CL_IT2_FREEZE_FRAC)
+    # — 12-utt diag, seeds 1234/777: mean 4.49/4.85 → 4.39/4.74, steady
+    # 2.93→2.76, flips 1.37→1.37% / 1.49→1.53%. 0 = open loop (one render,
+    # (iters+2)× cheaper)
+    closed_loop: int = 2
     # mel-spectrogram variant (BASELINE config 4)
     mel_size: int = 80
 

@@ -736,6 +736,16 @@ CL_NEAR_CLAMP = 1.2
 # 1.1 → 5.57/5.45 (steady 3.15→3.07, flips unchanged), 1.2 → 5.60 with
 # flips +0.08pt, 1.3 → worse. CL_NEAR_ALPHA stays the boundary-frame gain.
 CL_FULL_ALPHA = 1.1
+# Fraction of the (warped) spec bands FROZEN in closed-loop iterations
+# beyond the first: the voicing decision reads the noise mask's low
+# quarter, whose peak/valley readings move with the low spec bands'
+# harmonic amplitudes — a ±0.8 nat (±7 dB) second-pass correction there
+# pushes safely-voiced frames' re-analysis across the 0.75 threshold
+# (measured on scripts/cl_gate_sweep.py, seed 777: it-2 flips 1.51→2.34%
+# with all bands corrected, 1.63% with the low quarter frozen, 1.57% at
+# 0.33 — saturates there; 0.42 no better). Bands above the voicing-read
+# region carry most of the interior error mass and cannot flip anything.
+CL_IT2_FREEZE_FRAC = 0.33
 
 
 def _vuv_from_nm(nm_w: jax.Array) -> jax.Array:
@@ -866,6 +876,11 @@ def pml_closed_loop_core(
                     ),
                 )
             a_it = CL_FULL_ALPHA * far[:, None] * marg
+            # low-band freeze (see CL_IT2_FREEZE_FRAC)
+            lo = max(int(spec_size * CL_IT2_FREEZE_FRAC), 1)
+            a_it = a_it * jnp.concatenate(
+                [jnp.zeros((lo,)), jnp.ones((spec_size - lo,))]
+            )[None, :]
             c_it = 0.8
         e = jnp.clip(spec2 - spec_w, -c_it, c_it) * a_it * same
         spec_c = spec_c - e
