@@ -727,6 +727,13 @@ def pml_synthesize_amp_core(
 CL_BOUNDARY_RADIUS = 4
 CL_CLAMP = 1.5
 CL_NEAR_ALPHA = 0.5
+# Near-boundary gain for spec bands ABOVE the voicing-read region (see the
+# per-band alpha in pml_closed_loop_core). Swept 0.65/0.8 at it=2
+# (scripts/cl_gate_sweep.py, 8 utts): mean −0.06/−0.08 on both seeds but
+# seed-777 flips 1.57→1.69% — even high-band corrections perturb voicing
+# (plausibly through the full-band YIN f0 that positions the harmonicity
+# readings), so the flip-neutral 0.5 stays.
+CL_NEAR_ALPHA_HI = 0.5
 CL_NEAR_CLAMP = 1.2
 # Interior (far-from-flip) correction gain. The roundtrip operator's
 # response to a spec perturbation is slightly below identity (its Jacobian
@@ -837,9 +844,19 @@ def pml_closed_loop_core(
                 jnp.concatenate([near[:1], near[:-1]]),
             ),
         )
-    alpha = (CL_FULL_ALPHA - (CL_FULL_ALPHA - CL_NEAR_ALPHA) * near)[
-        :, None
-    ]  # (nf, 1)
+    # near-boundary damping is per-band: the vuv-flip channel rides the LOW
+    # spec bands (they move the noise-mask readings the voicing rule
+    # depends on — see CL_IT2_FREEZE_FRAC), so low bands keep the
+    # flip-validated CL_NEAR_ALPHA while bands above the voicing-read
+    # region may correct harder (CL_NEAR_ALPHA_HI)
+    lo_b = max(int(spec_size * CL_IT2_FREEZE_FRAC), 1)
+    na_band = jnp.concatenate(
+        [
+            jnp.full((lo_b,), CL_NEAR_ALPHA),
+            jnp.full((spec_size - lo_b,), CL_NEAR_ALPHA_HI),
+        ]
+    )[None, :]
+    alpha = CL_FULL_ALPHA - (CL_FULL_ALPHA - na_band) * near[:, None]
     clamp = (CL_CLAMP - (CL_CLAMP - CL_NEAR_CLAMP) * near)[:, None]
 
     spec_c = spec_w

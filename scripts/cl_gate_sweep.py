@@ -31,11 +31,13 @@ NC = float(os.environ.get("CL_NC", pml.CL_NEAR_CLAMP))
 BR = int(os.environ.get("CL_BR", pml.CL_BOUNDARY_RADIUS))
 FA = float(os.environ.get("CL_FA", pml.CL_FULL_ALPHA))
 FZ = float(os.environ.get("CL_FZ", pml.CL_IT2_FREEZE_FRAC))
+NAH = float(os.environ.get("CL_NA_HI", pml.CL_NEAR_ALPHA_HI))
 pml.CL_NEAR_ALPHA = NA
 pml.CL_NEAR_CLAMP = NC
 pml.CL_BOUNDARY_RADIUS = BR
 pml.CL_FULL_ALPHA = FA
 pml.CL_IT2_FREEZE_FRAC = FZ
+pml.CL_NEAR_ALPHA_HI = NAH
 
 from percivaltts_tpu.config import VocoderConfig  # noqa: E402
 from percivaltts_tpu.data.compose import load_wav  # noqa: E402
@@ -83,7 +85,7 @@ def main(n_utts: int = 8, seed: int = 1234):
     near = ok & (d <= 3)
     far = ok & (d >= 10)
     print(
-        f"NA={NA} NC={NC} BR={BR} FA={FA} FZ={FZ} it={cfg.closed_loop} | "
+        f"NA={NA}/{NAH} NC={NC} BR={BR} FA={FA} FZ={FZ} it={cfg.closed_loop} | "
         f"mean={pf.mean():.3f} med={np.median(pf):.3f} "
         f"near03={pf[near].mean():.2f} far={pf[far].mean():.3f} "
         f"flips={flip.mean() * 100:.2f}% (n={len(pf)})"
