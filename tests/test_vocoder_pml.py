@@ -136,22 +136,24 @@ def test_copy_synthesis_mcd_demo_corpus(voc, tmp_path):
     19.9 dB; round 2 ≈9.6/6.5; round 3 measures 4.53 mean / 2.75 median on
     this 4-utt fixture (harmonic envelope + boundary rendering +
     closed-loop synthesis with damped boundary corrections + the f0
-    sub-period rescue family + analysis-consistent feature padding).
+    sub-period rescue family + analysis-consistent feature padding;
+    4.48/2.69 with the closed_loop=2 default and its low-band freeze).
     Gates at measured +15% (VERDICT round-2 weak 2: track measured,
     don't double)."""
     from percivaltts_tpu.data.demo import generate_demo_corpus
 
     ids = generate_demo_corpus(str(tmp_path), num_utterances=4, fs=FS, seed=1234)
     pf = _copy_synth_per_frame_mcd(voc, str(tmp_path), ids)
-    assert pf.mean() < 5.2, pf.mean()
-    assert np.median(pf) < 3.2, np.median(pf)
+    assert pf.mean() < 5.15, pf.mean()
+    assert np.median(pf) < 3.1, np.median(pf)
 
 
 def test_copy_synthesis_mcd_hard_corpus(voc, tmp_path):
     """Same gate on the HARD demo corpus (plosive bursts, silence clicks,
     wide f0 down to ~62 Hz, amplitude dynamics — VERDICT round-2 item 4).
-    Measured 6.36 mean / 3.33 median with closed-loop synthesis (damped
-    boundary corrections); gates at +15%."""
+    Measured 6.33 mean / 3.30 median with closed-loop synthesis (damped
+    boundary corrections, closed_loop=2 low-band-frozen second pass);
+    gates at +15%."""
     from percivaltts_tpu.data.demo import generate_demo_corpus
 
     ids = generate_demo_corpus(
