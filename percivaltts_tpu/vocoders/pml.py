@@ -899,6 +899,12 @@ def pml_closed_loop_core(
                 [jnp.zeros((lo,)), jnp.ones((spec_size - lo,))]
             )[None, :]
             c_it = 0.8
+        # NOTE: temporally unsharp-masking the error (to invert the
+        # analysis window's ±1–2 frame smear of the roundtrip Jacobian)
+        # was measured WORSE at gains 0.2/0.4 (mean 4.56→4.96/5.29, flips
+        # 1.49→1.77/1.89% — the mask amplifies the non-repeatable error
+        # component faster than it deblurs the bias); do not retry
+        # without a way to separate the two components first.
         e = jnp.clip(spec2 - spec_w, -c_it, c_it) * a_it * same
         spec_c = spec_c - e
     return pml_synthesize_amp_core(lf0, spec_c, nm_w, **syn_kw)
