@@ -29,20 +29,33 @@ def _build() -> bool:
     # filesystem, parallel pytest workers): an flock around make prevents a
     # process from dlopen-ing a half-written .so mid-rebuild.
     lock_path = os.path.join(_NATIVE_DIR, ".build.lock")
+    lock = None
     try:
-        import fcntl
+        # Lock acquisition must not disable the build: on platforms
+        # without fcntl or with a read-only package dir, fall back to the
+        # (pre-lock) unlocked build rather than silently skipping it.
+        try:
+            import fcntl
 
-        with open(lock_path, "w") as lock:
+            lock = open(lock_path, "w")
             fcntl.flock(lock, fcntl.LOCK_EX)
-            try:
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR, "-s"],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            finally:
+        except Exception:
+            if lock is not None:
+                lock.close()
+            lock = None
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "-s"],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        finally:
+            if lock is not None:
+                import fcntl
+
                 fcntl.flock(lock, fcntl.LOCK_UN)
+                lock.close()
         return os.path.exists(_LIB_PATH)
     except Exception:
         return False

@@ -48,13 +48,9 @@ def erode5(x: jax.Array) -> jax.Array:
     which synthesis then renders as a loud low-frequency noise burst. A
     5-frame erosion removes the edge spike; the true value cannot change
     faster than the window anyway."""
-    nf = x.shape[0]
-    out = x
-    for k in range(1, 3):
-        lead = jnp.concatenate([x[k:], jnp.repeat(x[-1:], k, axis=0)])[:nf]
-        lag = jnp.concatenate([jnp.repeat(x[:1], k, axis=0), x[: nf - k]])
-        out = jnp.minimum(out, jnp.minimum(lead, lag))
-    return out
+    from percivaltts_tpu.ops.morph import erode1d
+
+    return erode1d(x, 2)
 
 
 def _peaks_valleys(wav, f0, fs, hop, f0_floor, time_smooth=0, vuv=None):

@@ -54,6 +54,11 @@ from jax.experimental.pallas import tpu as pltpu
 # the f32 carry scratch. Kept below the 16 MB/core limit with headroom for
 # Mosaic's own temporaries.
 _VMEM_BUDGET = 12 * 1024 * 1024
+# Hard ceiling for EXPLICIT use_pallas=True: configs between the
+# conservative budget above and this limit previously compiled fine under
+# Mosaic (which owns the real 16 MB/core arbitration), so _pick_block
+# returns K=1 for them instead of refusing — only past this does it raise.
+_VMEM_HARD_LIMIT = 15 * 1024 * 1024
 
 
 def _fixed_bytes(B: int, H: int, itemsize: int, w_units: int, s_carries: int) -> int:
@@ -76,10 +81,17 @@ def _pick_block(
     for k in (16, 8, 4, 2, 1):
         if T % k == 0 and k * per_k + fixed <= _VMEM_BUDGET:
             return k
+    if per_k + fixed <= _VMEM_HARD_LIMIT:
+        # over the conservative budget but plausibly within the real core
+        # limit: honor the caller's explicit use_pallas=True and let Mosaic
+        # arbitrate (the auto heuristic already steered clear via
+        # pallas_vmem_ok)
+        return 1
     raise ValueError(
         f"pallas recurrent kernel does not fit VMEM: T={T} B={B} H={H} "
         f"itemsize={itemsize} needs {per_k + fixed} bytes at K=1 "
-        f"(budget {_VMEM_BUDGET}); use the scan path (use_pallas=False)"
+        f"(hard limit {_VMEM_HARD_LIMIT}); use the scan path "
+        f"(use_pallas=False)"
     )
 
 

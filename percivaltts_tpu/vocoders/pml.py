@@ -53,6 +53,7 @@ from percivaltts_tpu.ops.cheaptrick import (
 )
 from percivaltts_tpu.ops.envelope import spectral_envelope
 from percivaltts_tpu.ops.f0 import estimate_f0
+from percivaltts_tpu.ops.morph import dilate1d, erode1d
 from percivaltts_tpu.ops.stft import hann_window, istft, stft
 from percivaltts_tpu.ops.warp import unwarp_matrix, warp_matrix
 from percivaltts_tpu.vocoders.base import (
@@ -101,6 +102,15 @@ GATE_EDGE_RADIUS = 6
 # utterances are padded to a multiple of this many frames before the jitted
 # cores run (bounded compile-variant count)
 FRAME_MULTIPLE = 128
+
+
+def env_halfw_for(envelope: str) -> float:
+    """Analysis-window half-width (units of T0) of the given envelope
+    estimator, for the amplitude-sharpening inverse in
+    ``pml_synthesize_amp_core`` — "harmonic" reads 4·T0 windows (half-width
+    2·T0), "cheaptrick" 3·T0 (1.5·T0); anything else (the fixed-window
+    "te" estimator) disables sharpening (0.0)."""
+    return {"harmonic": 2.0, "cheaptrick": 1.5}.get(envelope, 0.0)
 
 def _smooth_noiselike(
     x: jax.Array, noisiness: jax.Array, radius: int = 5
@@ -407,6 +417,8 @@ def pml_synthesize_core(
         "noise_mod",
         "min_phase",
         "gate_theta",
+        "env_halfw",
+        "env_tri_radius",
     ),
 )
 def pml_synthesize_amp_core(
@@ -423,6 +435,8 @@ def pml_synthesize_amp_core(
     noise_mod: float = 0.4,
     min_phase: bool = True,
     gate_theta: float = GATE_THETA,
+    env_halfw: float = 2.0,
+    env_tri_radius: int = 1,
 ) -> jax.Array:
     """Amplitude-convention (cheaptrick) synthesis: harmonics carry the
     envelope's *minimum-phase* response (cepstrum → causal-cepstrum fold →
@@ -445,11 +459,8 @@ def pml_synthesize_amp_core(
     logA = spec_w @ U_spec  # (nf, bins) log amplitude
     A = jnp.exp(logA)
     nm_bins = jnp.clip(nm_w @ U_nm, 0.0, 1.0)
-    # intended voicing: analysis writes nm = 1 everywhere on unvoiced frames
-    # (same low-band rule and threshold as Vocoder.f0_vuv)
-    voiced_f = (
-        jnp.mean(nm_w[:, : max(nm_size // 4, 1)], axis=-1) < 0.75
-    ).astype(jnp.float32)
+    # intended voicing: the shared low-band rule (see VUV_LOW_FRAC)
+    voiced_f = _vuv_from_nm(nm_w)
 
     # ---- harmonic part: amplitudes + minimum-phase offsets --------------- #
     # Time-SHARPEN the harmonic amplitudes before rendering. The analysis
@@ -465,40 +476,60 @@ def pml_synthesize_amp_core(
     # second order (C(2−C) = I − (C−I)²). C is f0-adaptive per frame;
     # voiced frames only — unvoiced-frame error is stochastic, and
     # sharpening would amplify it.
-    halfw_f = 2.0 * fs / (f0 * hop)  # window half-width in frames, (nf,)
-    RAD = 4
-    taus = jnp.arange(-RAD, RAD + 1, dtype=jnp.float32)
-    Kw = jnp.where(
-        jnp.abs(taus)[None, :] < halfw_f[:, None],
-        jnp.square(
-            0.5 + 0.5 * jnp.cos(jnp.pi * taus[None, :] / halfw_f[:, None])
-        ) ** 0.5,
-        0.0,
-    )  # Hann amplitude kernel, (nf, 2R+1)
-    tri = jnp.asarray([0.25, 0.5, 0.25], jnp.float32)  # env_time_smooth=1
-    C = sum(
-        tri[j] * jnp.pad(Kw, ((0, 0), (j, 2 - j)))[:, 1:-1] for j in range(3)
-    )
-    C = C / jnp.maximum(C.sum(axis=-1, keepdims=True), 1e-9)
-    vcol = voiced_f[:, None]
+    # ``env_halfw`` is the ANALYSIS window half-width in units of T0 — it
+    # must match the estimator that produced spec_w (envelope="harmonic"
+    # reads 4·T0 windows → 2.0; "cheaptrick"/WORLD use 3·T0 → 1.5) and
+    # ``env_tri_radius`` must match its env_time_smooth, else the inverse
+    # smear is mis-shaped and overshoots. 0 disables sharpening (e.g. the
+    # fixed-window "te" estimator, whose smear is not f0-adaptive).
+    if env_halfw > 0.0:
+        halfw_f = env_halfw * fs / (f0 * hop)  # half-width in frames, (nf,)
+        RAD = 4
+        taus = jnp.arange(-RAD, RAD + 1, dtype=jnp.float32)
+        Kw = jnp.where(
+            jnp.abs(taus)[None, :] < halfw_f[:, None],
+            0.5 + 0.5 * jnp.cos(jnp.pi * taus[None, :] / halfw_f[:, None]),
+            0.0,
+        )  # Hann amplitude kernel, (nf, 2R+1)
+        r = env_tri_radius
+        if r > 0:
+            # compose with the analysis-side triangular time smoothing
+            tw = np.asarray(
+                [r + 1 - abs(s) for s in range(-r, r + 1)], np.float32
+            )
+            tw = tw / tw.sum()
+            padded = jnp.pad(Kw, ((0, 0), (r, r)))
+            W = 2 * RAD + 1
+            C = sum(
+                tw[s + r] * padded[:, r - s : r - s + W]
+                for s in range(-r, r + 1)
+            )
+        else:
+            C = Kw
+        C = C / jnp.maximum(C.sum(axis=-1, keepdims=True), 1e-9)
+        vcol = voiced_f[:, None]
 
-    def shift_rows(x, t):
-        if t == 0:
-            return x
-        if t > 0:
-            return jnp.concatenate([x[t:], jnp.repeat(x[-1:], t, axis=0)])
-        return jnp.concatenate([jnp.repeat(x[:1], -t, axis=0), x[:t]])
+        def shift_rows(x, t):
+            if t == 0:
+                return x
+            if t > 0:
+                return jnp.concatenate([x[t:], jnp.repeat(x[-1:], t, axis=0)])
+            return jnp.concatenate([jnp.repeat(x[:1], -t, axis=0), x[:t]])
 
-    # voicing-partitioned smear: only same-state frames contribute (the
-    # analysis-side backfill/edge machinery owns the boundaries)
-    num = sum(
-        C[:, RAD + t, None] * shift_rows(A * vcol, t) for t in range(-RAD, RAD + 1)
-    )
-    den = sum(
-        C[:, RAD + t, None] * shift_rows(vcol, t) for t in range(-RAD, RAD + 1)
-    )
-    A_smear = num / jnp.maximum(den, 1e-6)
-    A_h = jnp.where(vcol > 0.5, jnp.maximum(2.0 * A - A_smear, 0.2 * A), A)
+        # voicing-partitioned smear: only same-state frames contribute (the
+        # analysis-side backfill/edge machinery owns the boundaries)
+        num = sum(
+            C[:, RAD + t, None] * shift_rows(A * vcol, t)
+            for t in range(-RAD, RAD + 1)
+        )
+        den = sum(
+            C[:, RAD + t, None] * shift_rows(vcol, t)
+            for t in range(-RAD, RAD + 1)
+        )
+        A_smear = num / jnp.maximum(den, 1e-6)
+        A_h = jnp.where(vcol > 0.5, jnp.maximum(2.0 * A - A_smear, 0.2 * A), A)
+    else:
+        A_h = A
 
     k, binpos, valid = _harmonic_grid(f0, f0_min, fs, dftlen)
     amp_f = lerp_gather(A_h, binpos) * jnp.sqrt(
@@ -615,13 +646,7 @@ def pml_synthesize_amp_core(
     # fallback where the plateaus can't be localized (tiny low-band gap or
     # run too short): the voicing bit eroded by one frame on each side (the
     # best fixed-offset placement, measured)
-    v_er = jnp.minimum(
-        vmask.astype(jnp.float32),
-        jnp.minimum(
-            jnp.concatenate([vmask[:1], vmask[:-1]]).astype(jnp.float32),
-            jnp.concatenate([vmask[1:], vmask[-1:]]).astype(jnp.float32),
-        ),
-    )
+    v_er = erode1d(vmask.astype(jnp.float32), 1)
     w_fin = jnp.where(ok, w_frac, v_er)[:, 0]  # (nf,)
     # The w-based edge placement owns only frames NEAR a voicing edge:
     # deep inside a voiced run a quiet phone's energy dip can push w below
@@ -632,27 +657,13 @@ def pml_synthesize_amp_core(
     edge = jnp.concatenate(
         [jnp.zeros((1,), bool), vb[1:] != vb[:-1]]
     ).astype(jnp.float32)
-    near_edge = edge
-    for _ in range(GATE_EDGE_RADIUS):
-        near_edge = jnp.maximum(
-            near_edge,
-            jnp.maximum(
-                jnp.concatenate([near_edge[1:], near_edge[-1:]]),
-                jnp.concatenate([near_edge[:1], near_edge[:-1]]),
-            ),
-        )
+    near_edge = dilate1d(edge, GATE_EDGE_RADIUS)
     w_fin = jnp.where(near_edge > 0.5, w_fin, voiced_f)
     w_s = w_fin[i0] * (1.0 - w1) + w_fin[i0 + 1] * w1
     step = (w_s > gate_theta).astype(jnp.float32)
     # mask to within one frame of the voiced region so plateau noise in w
     # far from any boundary cannot leak harmonics
-    v_dil = jnp.maximum(
-        voiced_f,
-        jnp.maximum(
-            jnp.concatenate([voiced_f[:1], voiced_f[:-1]]),
-            jnp.concatenate([voiced_f[1:], voiced_f[-1:]]),
-        ),
-    )
+    v_dil = dilate1d(voiced_f, 1)
     m_s = v_dil[i0] * (1.0 - w1) + v_dil[i0 + 1] * w1
     step = step * jnp.clip(2.0 * m_s, 0.0, 1.0)
     # triangular ~5 ms ramp (two box filters) centered on the crossing: the
@@ -755,11 +766,28 @@ CL_FULL_ALPHA = 1.1
 CL_IT2_FREEZE_FRAC = 0.33
 
 
+# THE voicing rule, defined once: a frame is voiced iff the mean of the
+# low quarter of its warped noise-mask bands is below 0.75 (analysis
+# writes nm = 1 everywhere on unvoiced frames, so unvoiced reads exactly
+# 1.0 while voiced low bands carry the measured noise fraction, ≲0.5 plus
+# estimator spread). Used by _vuv_from_nm (closed loop), the synthesis
+# harmonic gate, and PMLVocoder.f0_vuv — change it HERE only, or the
+# closed-loop same-voicing gate, the rendered gate, and the analysis
+# decision desynchronize and boundary flips return.
+VUV_LOW_FRAC = 0.25
+VUV_THRESHOLD = 0.75
+
+
+def _vuv_low_bands(nm):
+    """The noise-mask band slice the voicing rule reads (np or jnp)."""
+    return nm[..., : max(int(nm.shape[-1] * VUV_LOW_FRAC), 1)]
+
+
 def _vuv_from_nm(nm_w: jax.Array) -> jax.Array:
-    """Voicing bit from the warped noise mask (same rule as
-    ``Vocoder.f0_vuv``: analysis writes nm = 1 on unvoiced frames)."""
-    low = nm_w[:, : max(nm_w.shape[-1] // 4, 1)]
-    return (jnp.mean(low, axis=-1) < 0.75).astype(jnp.float32)
+    """Voicing bit from the warped noise mask (the rule above)."""
+    return (
+        jnp.mean(_vuv_low_bands(nm_w), axis=-1) < VUV_THRESHOLD
+    ).astype(jnp.float32)
 
 
 @functools.partial(
@@ -818,6 +846,8 @@ def pml_closed_loop_core(
         f0_min=f0_min,
         f0_max=f0_max,
         seed=seed,
+        env_halfw=env_halfw_for(envelope),
+        env_tri_radius=env_time_smooth,
     )
     ana_kw = dict(
         fs=fs,
@@ -835,15 +865,7 @@ def pml_closed_loop_core(
     # distance-to-flip gate: dilate the flip indicator CL_BOUNDARY_RADIUS
     # frames each way; frames it reaches are left uncorrected
     flip = jnp.concatenate([jnp.zeros((1,)), jnp.abs(jnp.diff(v1))])
-    near = flip
-    for _ in range(CL_BOUNDARY_RADIUS):
-        near = jnp.maximum(
-            near,
-            jnp.maximum(
-                jnp.concatenate([near[1:], near[-1:]]),
-                jnp.concatenate([near[:1], near[:-1]]),
-            ),
-        )
+    near = dilate1d(flip, CL_BOUNDARY_RADIUS)
     # near-boundary damping is per-band: the vuv-flip channel rides the LOW
     # spec bands (they move the noise-mask readings the voicing rule
     # depends on — see CL_IT2_FREEZE_FRAC), so low bands keep the
@@ -879,19 +901,11 @@ def pml_closed_loop_core(
             # whose voicing reading is marginal. ``marg`` additionally
             # damps frames whose re-analysis noise-mask low-band mean sits
             # within 0.15 of the voicing threshold (_vuv_from_nm).
-            low2 = jnp.mean(
-                nm2[:, : max(nm_size // 4, 1)], axis=-1
-            )
-            marg = jnp.clip(jnp.abs(low2 - 0.75) / 0.15, 0.0, 1.0)[:, None]
-            far = 1.0 - near
-            for _ in range(CL_BOUNDARY_RADIUS):
-                far = jnp.minimum(
-                    far,
-                    jnp.minimum(
-                        jnp.concatenate([far[1:], far[-1:]]),
-                        jnp.concatenate([far[:1], far[:-1]]),
-                    ),
-                )
+            low2 = jnp.mean(_vuv_low_bands(nm2), axis=-1)
+            marg = jnp.clip(
+                jnp.abs(low2 - VUV_THRESHOLD) / 0.15, 0.0, 1.0
+            )[:, None]
+            far = erode1d(1.0 - near, CL_BOUNDARY_RADIUS)
             a_it = CL_FULL_ALPHA * far[:, None] * marg
             # low-band freeze (see CL_IT2_FREEZE_FRAC)
             lo = max(int(spec_size * CL_IT2_FREEZE_FRAC), 1)
@@ -940,10 +954,16 @@ def _pml_analyze_vmapped(wavs, **kw):
         "dftlen",
         "f0_min",
         "f0_max",
+        "env_halfw",
+        "env_tri_radius",
     ),
 )
-def _pml_synthesize_vmapped(lf0s, specs, nms, amp, **kw):
+def _pml_synthesize_vmapped(
+    lf0s, specs, nms, amp, env_halfw=2.0, env_tri_radius=1, **kw
+):
     """vmap of a synthesis core over stacked (B, frames, ·) features."""
+    if amp:
+        kw = dict(kw, env_halfw=env_halfw, env_tri_radius=env_tri_radius)
     core = pml_synthesize_amp_core if amp else pml_synthesize_core
     return jax.vmap(lambda a, b, c: core(a, b, c, **kw))(lf0s, specs, nms)
 
@@ -1040,13 +1060,18 @@ class PMLVocoder(Vocoder):
         nf_pad = -(-nf // FRAME_MULTIPLE) * FRAME_MULTIPLE
         fp = self._pad_feats(feats, nf_pad)
         amp = c.envelope in ("cheaptrick", "harmonic")
-        args = (
-            jnp.asarray(fp[:, 0]),
-            jnp.asarray(fp[:, 1 : 1 + c.spec_size]),
-            jnp.asarray(fp[:, 1 + c.spec_size :]),
+        args_np = (
+            fp[:, 0],
+            fp[:, 1 : 1 + c.spec_size],
+            fp[:, 1 + c.spec_size :],
         )
         if amp and c.closed_loop > 0:
             with dsp_scope():
+                # device_put INSIDE the scope: on the tunneled runtime the
+                # default device is the TPU, and placing the features there
+                # first would ship them host→TPU→host (two needless ~1 GB/s
+                # tunnel crossings) before the CPU-routed DSP jit runs
+                args = tuple(jnp.asarray(a) for a in args_np)
                 wav = pml_closed_loop_core(
                     *args,
                     fs=c.fs,
@@ -1063,7 +1088,16 @@ class PMLVocoder(Vocoder):
                     iters=c.closed_loop,
                 )
         else:
+            args = tuple(jnp.asarray(a) for a in args_np)
             core = pml_synthesize_amp_core if amp else pml_synthesize_core
+            extra = (
+                dict(
+                    env_halfw=env_halfw_for(c.envelope),
+                    env_tri_radius=c.env_time_smooth,
+                )
+                if amp
+                else {}
+            )
             wav = core(
                 *args,
                 fs=c.fs,
@@ -1073,6 +1107,7 @@ class PMLVocoder(Vocoder):
                 f0_min=c.f0_min,
                 f0_max=c.f0_max,
                 seed=seed,
+                **extra,
             )
         return np.asarray(wav[: nf * c.shift_samples])
 
@@ -1085,11 +1120,13 @@ class PMLVocoder(Vocoder):
         c = self.cfg
 
         def build(batch, nf_pad):
+            # numpy out: run() device_puts inside dsp_scope so the
+            # tunneled runtime doesn't ship features host→TPU→host first
             fp = np.stack([self._pad_feats(f, nf_pad) for f in batch])
             return (
-                jnp.asarray(fp[:, :, 0]),
-                jnp.asarray(fp[:, :, 1 : 1 + c.spec_size]),
-                jnp.asarray(fp[:, :, 1 + c.spec_size :]),
+                fp[:, :, 0],
+                fp[:, :, 1 : 1 + c.spec_size],
+                fp[:, :, 1 + c.spec_size :],
             )
 
         amp = c.envelope in ("cheaptrick", "harmonic")
@@ -1097,6 +1134,7 @@ class PMLVocoder(Vocoder):
         def run(args):
             if amp and c.closed_loop > 0:
                 with dsp_scope():
+                    args = tuple(jnp.asarray(a) for a in args)
                     return _pml_closed_loop_vmapped(
                         *args,
                         fs=c.fs,
@@ -1113,7 +1151,7 @@ class PMLVocoder(Vocoder):
                         iters=c.closed_loop,
                     )
             return _pml_synthesize_vmapped(
-                *args,
+                *(jnp.asarray(a) for a in args),
                 amp=amp,
                 fs=c.fs,
                 hop=c.shift_samples,
@@ -1122,6 +1160,8 @@ class PMLVocoder(Vocoder):
                 f0_min=c.f0_min,
                 f0_max=c.f0_max,
                 seed=seed,
+                env_halfw=env_halfw_for(c.envelope),
+                env_tri_radius=c.env_time_smooth,
             )
 
         return chunked_synthesize_batch(
@@ -1155,13 +1195,12 @@ class PMLVocoder(Vocoder):
         )
 
     def f0_vuv(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """f0 from the lf0 stream; voicing from the low-band noise mask.
-        Analysis writes nm = 1 everywhere on unvoiced frames, so unvoiced
-        reads exactly 1.0 while voiced low bands carry the measured noise
-        fraction (≲0.5 plus estimator spread) — the 0.75 threshold separates
-        the two robustly."""
+        """f0 from the lf0 stream; voicing from the shared low-band
+        noise-mask rule (see ``VUV_LOW_FRAC``/``VUV_THRESHOLD``) — numpy
+        here, but the SAME constants as the in-jit gates."""
         lf0 = self.stream(feats, "f0")[..., 0]
         nm = self.stream(feats, "nm")
-        low = nm[..., : max(nm.shape[-1] // 4, 1)]
-        vuv = (low.mean(axis=-1) < 0.75).astype(np.float32)
+        vuv = (
+            _vuv_low_bands(nm).mean(axis=-1) < VUV_THRESHOLD
+        ).astype(np.float32)
         return np.exp(lf0), vuv

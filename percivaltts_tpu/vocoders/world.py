@@ -36,6 +36,7 @@ import numpy as np
 from percivaltts_tpu.ops.aperiodicity import erode5, harmonic_noise_mask
 from percivaltts_tpu.ops.cheaptrick import cheaptrick_envelope
 from percivaltts_tpu.ops.f0 import estimate_f0
+from percivaltts_tpu.ops.morph import dilate1d, erode1d
 from percivaltts_tpu.ops.warp import warp_matrix
 from percivaltts_tpu.vocoders.base import (
     Vocoder,
@@ -175,6 +176,11 @@ def world_closed_loop_core(
         f0_min=f0_min,
         f0_max=f0_max,
         seed=seed,
+        # WORLD analyzes with CheapTrick's 3·T0 window: the amplitude-
+        # sharpening inverse must match it (half-width 1.5·T0, not the
+        # PML harmonic estimator's 2·T0)
+        env_halfw=1.5,
+        env_tri_radius=env_time_smooth,
     )
     ana_kw = dict(
         fs=fs,
@@ -188,15 +194,7 @@ def world_closed_loop_core(
     )
     v1 = (vuv > 0.5).astype(jnp.float32)
     flip = jnp.concatenate([jnp.zeros((1,)), jnp.abs(jnp.diff(v1))])
-    near = flip
-    for _ in range(CL_BOUNDARY_RADIUS):
-        near = jnp.maximum(
-            near,
-            jnp.maximum(
-                jnp.concatenate([near[1:], near[-1:]]),
-                jnp.concatenate([near[:1], near[:-1]]),
-            ),
-        )
+    near = dilate1d(flip, CL_BOUNDARY_RADIUS)
     alpha = (CL_FULL_ALPHA - (CL_FULL_ALPHA - CL_NEAR_ALPHA) * near)[:, None]
     clamp = (CL_CLAMP - (CL_CLAMP - CL_NEAR_CLAMP) * near)[:, None]
 
@@ -212,15 +210,7 @@ def world_closed_loop_core(
         else:
             # iterations beyond the first: interior-only, tighter clamp
             # (same rationale as pml_closed_loop_core)
-            far = 1.0 - near
-            for _ in range(CL_BOUNDARY_RADIUS):
-                far = jnp.minimum(
-                    far,
-                    jnp.minimum(
-                        jnp.concatenate([far[1:], far[-1:]]),
-                        jnp.concatenate([far[:1], far[:-1]]),
-                    ),
-                )
+            far = erode1d(1.0 - near, CL_BOUNDARY_RADIUS)
             a_it, c_it = CL_FULL_ALPHA * far[:, None], 0.8
         e = jnp.clip(spec2 - spec_w, -c_it, c_it) * a_it * same
         spec_c = spec_c - e
@@ -332,6 +322,8 @@ class WorldVocoder(Vocoder):
                 f0_min=c.f0_min,
                 f0_max=c.f0_max,
                 seed=seed,
+                env_halfw=1.5,
+                env_tri_radius=c.env_time_smooth,
             )
         return np.asarray(wav[: nf * c.shift_samples])
 
@@ -381,16 +373,14 @@ class WorldVocoder(Vocoder):
                     vuv[j, n:] = f[-1, 1]
                     spec[j, n:] = f[-1, 2 : 2 + c.spec_size]
                     bap[j, n:] = f[-1, 2 + c.spec_size :]
-            return (
-                jnp.asarray(lf0),
-                jnp.asarray(vuv),
-                jnp.asarray(spec),
-                jnp.asarray(bap),
-            )
+            # numpy out: run() device_puts inside dsp_scope so the tunneled
+            # runtime doesn't ship features host→TPU→host first
+            return (lf0, vuv, spec, bap)
 
         def run(args):
             if c.closed_loop > 0:
                 with dsp_scope():
+                    args = tuple(jnp.asarray(a) for a in args)
                     return _world_closed_loop_vmapped(
                         *args,
                         fs=c.fs,
@@ -405,7 +395,7 @@ class WorldVocoder(Vocoder):
                         seed=seed,
                         iters=c.closed_loop,
                     )
-            lf0s, vuvs, specs, baps = args
+            lf0s, vuvs, specs, baps = (jnp.asarray(a) for a in args)
             nms = jnp.where(vuvs[..., None] > 0.5, baps, 1.0)
             return _pml_synthesize_vmapped(
                 lf0s,
@@ -419,6 +409,8 @@ class WorldVocoder(Vocoder):
                 f0_min=c.f0_min,
                 f0_max=c.f0_max,
                 seed=seed,
+                env_halfw=1.5,
+                env_tri_radius=c.env_time_smooth,
             )
 
         return chunked_synthesize_batch(
