@@ -55,8 +55,15 @@ BASE_NAMES = [p for p in PHONES if p != "sil" and p not in PLOSIVES]
 HTK_PER_SEC = 10_000_000
 
 
-def _phone_envelope(freqs: np.ndarray, phone: str) -> np.ndarray:
-    """Smooth log-amplitude envelope over linear frequencies for a phone."""
+def _phone_envelope(
+    freqs: np.ndarray, phone: str, fscale: float = 1.0
+) -> np.ndarray:
+    """Smooth log-amplitude envelope over linear frequencies for a phone.
+
+    ``fscale`` multiplies every formant/burst center frequency — the
+    per-instance realization jitter of the one-to-many corpus mode (see
+    ``generate_demo_corpus(jitter=...)``); 1.0 reproduces the canonical
+    phone exactly."""
     voiced, formants, bw = PHONES[phone]
     if phone == "sil":
         return np.full_like(freqs, -12.0)
@@ -65,9 +72,11 @@ def _phone_envelope(freqs: np.ndarray, phone: str) -> np.ndarray:
         env = env - freqs / 3000.0  # spectral tilt
         for i, fc in enumerate(formants):
             width = 120.0 * (i + 1) * max(bw, 0.3)
-            env = env + 3.5 * np.exp(-0.5 * ((freqs - fc) / width) ** 2)
+            env = env + 3.5 * np.exp(
+                -0.5 * ((freqs - fc * fscale) / width) ** 2
+            )
     else:
-        fc = formants[0]
+        fc = formants[0] * fscale
         env = env - 2.0 + 2.5 * np.exp(-0.5 * ((freqs - fc) / (1200.0 * bw)) ** 2)
         env = env - np.maximum(0.0, (1500.0 - freqs)) / 700.0  # highpass-ish
     return env
@@ -80,6 +89,7 @@ def _synthesize_utterance(
     f0_base: float,
     rng: np.random.Generator,
     hard: bool = False,
+    jitter: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (waveform, per-sample true f0 Hz, per-sample voiced flag) —
     the ground-truth track lets tests audit the f0 estimator against moving
@@ -89,7 +99,17 @@ def _synthesize_utterance(
     round-2 item 4): plosive closure/burst transients, clicks inside
     silences, per-phone gain jitter and a slow utterance-level amplitude
     modulation. All hard-mode randomness draws AFTER the shared draws, so
-    ``hard=False`` output is byte-identical to the pre-hard generator."""
+    ``hard=False`` output is byte-identical to the pre-hard generator.
+
+    ``jitter`` > 0 makes the label→acoustics mapping one-to-many: every
+    phone INSTANCE scales its formant/burst center frequencies by an
+    unlabeled exp(U(−jitter, +jitter)) draw, so identical label contexts map
+    to a distribution of spectra (realization variability, as in real
+    speech). An LSE-trained model must predict the conditional mean —
+    formant peaks smeared over the jitter range, within-utterance global
+    variance below natural — which is exactly the over-smoothing the WGAN
+    critic exists to fix (reference ``optimizertts_wgan.py``). Draws occur
+    only when jitter > 0, keeping jitter=0 output byte-identical."""
     total = int(round(sum(durs_sec) * fs))
     t = np.arange(total) / fs
     # smooth f0 contour: declination + slow vibrato
@@ -107,7 +127,12 @@ def _synthesize_utterance(
         n = int(round(dur * fs))
         sl = slice(pos, min(pos + n, total))
         m = sl.stop - sl.start
-        env_db = _phone_envelope(freqs, ph)
+        fscale = (
+            float(np.exp(rng.uniform(-jitter, jitter)))
+            if jitter > 0.0 and ph != "sil"
+            else 1.0
+        )
+        env_db = _phone_envelope(freqs, ph, fscale)
         amp = np.exp(env_db)
         voiced = PHONES[ph][0]
         if ph == "sil":
@@ -188,6 +213,7 @@ def generate_demo_corpus(
     min_phones: int = 6,
     max_phones: int = 12,
     hard: bool = False,
+    jitter: float = 0.0,
 ) -> List[str]:
     """Write a miniature corpus under ``root``: ``wav/``,
     ``label_state_align/``, ``questions.hed``, ``fileids.scp``.
@@ -198,7 +224,11 @@ def generate_demo_corpus(
     inside silences, per-phone/utterance amplitude dynamics, and a wider
     per-speaker f0 range reaching near the analyzer's ``f0_min`` (75–285 Hz
     base vs the friendly 110–220). ``hard=False`` output is byte-identical
-    to the pre-hard generator."""
+    to the pre-hard generator.
+
+    ``jitter`` > 0 (e.g. 0.12 = ±12 % formant shifts) makes the mapping
+    one-to-many per phone instance — the over-smoothing stress corpus for
+    LSE-vs-WGAN studies; see ``_synthesize_utterance``."""
     from percivaltts_tpu.data.compose import save_wav
 
     rng = np.random.default_rng(seed)
@@ -240,7 +270,9 @@ def generate_demo_corpus(
         shift = 0.005
         durs = [max(round(d / shift), 5) * shift for d in durs]
         f0_base = float(rng.uniform(75.0, 285.0) if hard else rng.uniform(110.0, 220.0))
-        wav, f0_s, voiced_s = _synthesize_utterance(seq, durs, fs, f0_base, rng, hard=hard)
+        wav, f0_s, voiced_s = _synthesize_utterance(
+            seq, durs, fs, f0_base, rng, hard=hard, jitter=jitter
+        )
         save_wav(os.path.join(wav_dir, uid + ".wav"), fs, wav)
         # ground-truth f0 reference at the 5 ms frame rate: (nf, 2) columns
         # [f0_hz, voiced] sampled at frame centers — lets tests attribute

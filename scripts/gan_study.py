@@ -25,7 +25,9 @@ from percivaltts_tpu.config import (
 from percivaltts_tpu.utils.logging import print_log
 
 
-def build_cfg(root: str, trainer: str, epochs: int) -> Configuration:
+def build_cfg(
+    root: str, trainer: str, epochs: int, hidden: int = 128
+) -> Configuration:
     # The round-2 soak recipe (converged to test MCD 8.75 in 2000 WGAN outer
     # steps): spec 33 / nm 17, critic_hidden 128, 3 CNN blocks. At spec 65 /
     # critic_hidden 256 the WGAN arm needs far more than 2000 steps to leave
@@ -46,12 +48,12 @@ def build_cfg(root: str, trainer: str, epochs: int) -> Configuration:
         vocoder=VocoderConfig(kind="pml", fs=16000, spec_size=33, nm_size=17),
         model=ModelConfig(
             generator="cnn_blstm",
-            hidden_size=128,
-            blstm_size=128,
+            hidden_size=hidden,
+            blstm_size=hidden,
             cnn_blocks=3,
             critic_channels=32,
             critic_blocks=4,
-            critic_hidden=128,
+            critic_hidden=hidden,
         ),
         train=TrainConfig(
             trainer=trainer,
@@ -71,19 +73,32 @@ def build_cfg(root: str, trainer: str, epochs: int) -> Configuration:
 
 
 def main(
-    root: str = "/tmp/gan_study", epochs: int = 60, n_utts: int = 200, hard: int = 0
+    root: str = "/tmp/gan_study",
+    epochs: int = 60,
+    n_utts: int = 200,
+    hard: int = 0,
+    jitter: float = 0.0,
+    hidden: int = 128,
 ):
     from percivaltts_tpu.data.demo import generate_demo_corpus
 
     corpus = os.path.join(root, "corpus")
     if not os.path.isdir(os.path.join(corpus, "wav")):
         generate_demo_corpus(
-            corpus, num_utterances=n_utts, fs=16000, seed=777, hard=bool(hard)
+            corpus,
+            num_utterances=n_utts,
+            fs=16000,
+            seed=777,
+            hard=bool(hard),
+            # one-to-many realization variability (unlabeled per-instance
+            # formant jitter): the regime where LSE *must* over-smooth and
+            # the critic has something real to restore
+            jitter=jitter,
         )
 
     results = {}
     for trainer in ("lse", "wgan"):
-        cfg = build_cfg(root, trainer, epochs)
+        cfg = build_cfg(root, trainer, epochs, hidden=hidden)
         from percivaltts_tpu.cli import cmd_generate, cmd_train
 
         class A:  # minimal argparse stand-in
@@ -148,5 +163,5 @@ if __name__ == "__main__":
     kw = {}
     for a in sys.argv[1:]:
         k, v = a.split("=")
-        kw[k] = v if k == "root" else int(v)
+        kw[k] = v if k == "root" else (float(v) if k == "jitter" else int(v))
     main(**kw)

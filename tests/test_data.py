@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -98,3 +100,29 @@ def test_epoch_reshuffles():
     b0 = list(ds.batches(4, (512,), seed=7, epoch=0))
     b1 = list(ds.batches(4, (512,), seed=7, epoch=1))
     assert not np.allclose(b0[0]["lab"], b1[0]["lab"])
+
+
+def test_demo_jitter_mode_one_to_many(tmp_path):
+    """jitter > 0 must change ONLY the acoustics (unlabeled realization
+    variability): labels/questions byte-identical to jitter=0, waveforms
+    different; jitter=0 itself stays deterministic."""
+    from percivaltts_tpu.data.demo import generate_demo_corpus
+
+    a, a2, b = (str(tmp_path / d) for d in ("a", "a2", "b"))
+    generate_demo_corpus(a, num_utterances=3, fs=16000, seed=11)
+    generate_demo_corpus(a2, num_utterances=3, fs=16000, seed=11)
+    generate_demo_corpus(b, num_utterances=3, fs=16000, seed=11, jitter=0.25)
+
+    def rd(root, rel):
+        with open(os.path.join(root, rel), "rb") as f:
+            return f.read()
+
+    for rel in (
+        "questions.hed",
+        "fileids.scp",
+        os.path.join("label_state_align", "demo0000.lab"),
+    ):
+        assert rd(a, rel) == rd(a2, rel) == rd(b, rel)
+    wav = os.path.join("wav", "demo0000.wav")
+    assert rd(a, wav) == rd(a2, wav)  # deterministic
+    assert rd(a, wav) != rd(b, wav)  # jitter moved the acoustics
