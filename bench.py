@@ -196,8 +196,18 @@ if __name__ == "__main__":
         import sys
         import time as _t
 
-        transient = ("FailedPrecondition", "Unavailable", "DEADLINE", "Internal")
-        if not any(t.lower() in (type(e).__name__ + str(e)).lower() for t in transient):
+        # specific tokens only: a bare "internal"/"deadline" substring also
+        # matches deterministic failures (e.g. "InternalError: Mosaic
+        # lowering failed") and would waste a 30 s sleep + full rerun on a
+        # reproducible bug
+        transient = (
+            "failedprecondition",
+            "unavailable",
+            "deadline_exceeded",
+            "deadline exceeded",
+            "socket closed",
+        )
+        if not any(t in (type(e).__name__ + str(e)).lower() for t in transient):
             raise
         print(f"bench attempt 1 failed ({type(e).__name__}); retrying in 30 s", file=sys.stderr)
         _t.sleep(30)

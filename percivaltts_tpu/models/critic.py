@@ -111,8 +111,13 @@ class Critic(nn.Module):
         # the conv path's downsampled rate T/t_stride anyway, so running the
         # GEMMs at full T wasted t_stride× flops (profiled at ~1.8 ms of the
         # 24 ms headline step across all critic passes incl. the GP
-        # double-backprop). Param shapes are unchanged (pooling is over
-        # time); only activations shrink.
+        # double-backprop). NOTE this is a different critic function, not a
+        # pure optimization — mean-pool(gelu(Dense(x))) ≠
+        # gelu(Dense(mean-pool(x))) — with the same param SHAPES, so a
+        # checkpoint from before this change restores cleanly but scores
+        # batches differently; resumed pre-change WGAN runs should finish on
+        # the old revision. (Measured equally stable/convergent on the soak
+        # recipes; device step 19.3 → 18.3 ms.)
         B, T = mask.shape
         Tp = x.shape[1]
 

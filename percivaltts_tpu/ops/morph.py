@@ -23,9 +23,34 @@ def dilate1d(x: jax.Array, radius: int) -> jax.Array:
     out = x
     for k in range(1, radius + 1):
         lead = jnp.concatenate([x[k:], jnp.repeat(x[-1:], k, axis=0)])[:nf]
-        lag = jnp.concatenate([jnp.repeat(x[:1], k, axis=0), x[: nf - k]])
+        # max(nf-k, 0): with radius >= nf the slice would go negative and
+        # the concat length 2*nf-k != nf (trace-time crash on short inputs)
+        lag = jnp.concatenate(
+            [jnp.repeat(x[:1], k, axis=0), x[: max(nf - k, 0)]]
+        )[:nf]
         out = jnp.maximum(out, jnp.maximum(lead, lag))
     return out
+
+
+def fill_from_interior(
+    x: jax.Array, interior: jax.Array, iters: int
+) -> tuple[jax.Array, jax.Array]:
+    """Nearest-interior fill along axis 0: propagate ``x``'s values outward
+    from ``interior`` (bool mask, same leading shape as ``x``) one frame per
+    iteration, earlier frame winning ties. Returns ``(filled, reached)``
+    where ``reached`` marks frames within ``iters`` of an interior frame;
+    frames beyond keep their original values."""
+    filled, cm = x, interior
+    for _ in range(iters):
+        pv = jnp.concatenate([cm[:1], cm[:-1]])
+        nv = jnp.concatenate([cm[1:], cm[-1:]])
+        prev = jnp.concatenate([filled[:1], filled[:-1]])
+        nxt = jnp.concatenate([filled[1:], filled[-1:]])
+        filled = jnp.where(
+            cm, filled, jnp.where(pv, prev, jnp.where(nv, nxt, filled))
+        )
+        cm = cm | pv | nv
+    return filled, cm
 
 
 def erode1d(x: jax.Array, radius: int) -> jax.Array:
@@ -34,6 +59,8 @@ def erode1d(x: jax.Array, radius: int) -> jax.Array:
     out = x
     for k in range(1, radius + 1):
         lead = jnp.concatenate([x[k:], jnp.repeat(x[-1:], k, axis=0)])[:nf]
-        lag = jnp.concatenate([jnp.repeat(x[:1], k, axis=0), x[: nf - k]])
+        lag = jnp.concatenate(
+            [jnp.repeat(x[:1], k, axis=0), x[: max(nf - k, 0)]]
+        )[:nf]
         out = jnp.minimum(out, jnp.minimum(lead, lag))
     return out

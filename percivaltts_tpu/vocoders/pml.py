@@ -53,7 +53,7 @@ from percivaltts_tpu.ops.cheaptrick import (
 )
 from percivaltts_tpu.ops.envelope import spectral_envelope
 from percivaltts_tpu.ops.f0 import estimate_f0
-from percivaltts_tpu.ops.morph import dilate1d, erode1d
+from percivaltts_tpu.ops.morph import dilate1d, erode1d, fill_from_interior
 from percivaltts_tpu.ops.stft import hann_window, istft, stft
 from percivaltts_tpu.ops.warp import unwarp_matrix, warp_matrix
 from percivaltts_tpu.vocoders.base import (
@@ -579,21 +579,8 @@ def pml_synthesize_amp_core(
         return jnp.where(vmask, x, fill)
 
     def backfill(x):
-        clean = vmask
-        for _ in range(EDGE_BACKFILL):
-            p = jnp.concatenate([clean[:1], clean[:-1]])
-            q = jnp.concatenate([clean[1:], clean[-1:]])
-            clean = clean & p & q
-        filled, cm = x, clean
-        for _ in range(EDGE_BACKFILL):
-            pv = jnp.concatenate([cm[:1], cm[:-1]])
-            nv = jnp.concatenate([cm[1:], cm[-1:]])
-            prev = jnp.concatenate([filled[:1], filled[:-1]])
-            nxt = jnp.concatenate([filled[1:], filled[-1:]])
-            filled = jnp.where(
-                cm, filled, jnp.where(pv, prev, jnp.where(nv, nxt, filled))
-            )
-            cm = cm | pv | nv
+        clean = erode1d(vmask, EDGE_BACKFILL)
+        filled, cm = fill_from_interior(x, clean, EDGE_BACKFILL)
         # runs shorter than 2·EDGE_BACKFILL+1 have no clean interior: keep
         # the measured values there
         return jnp.where(vmask & cm, filled, x)
@@ -619,22 +606,7 @@ def pml_synthesize_amp_core(
     def interior_fill(mask, depth):
         """Nearest-interior fill of E: interior = frames ≥``depth`` inside
         ``mask`` runs. Returns (filled E, reached?) after 8 dilation steps."""
-        clean = mask
-        for _ in range(depth):
-            p = jnp.concatenate([clean[:1], clean[:-1]])
-            q = jnp.concatenate([clean[1:], clean[-1:]])
-            clean = clean & p & q
-        filled, cm = E, clean
-        for _ in range(8):
-            pv = jnp.concatenate([cm[:1], cm[:-1]])
-            nv = jnp.concatenate([cm[1:], cm[-1:]])
-            prev = jnp.concatenate([filled[:1], filled[:-1]])
-            nxt = jnp.concatenate([filled[1:], filled[-1:]])
-            filled = jnp.where(
-                cm, filled, jnp.where(pv, prev, jnp.where(nv, nxt, filled))
-            )
-            cm = cm | pv | nv
-        return filled, cm
+        return fill_from_interior(E, erode1d(mask, depth), 8)
 
     # voiced-side smear spans ~±2.5 frames (window half-width ~1.7 plus the
     # ±1 triangular time smoothing), so the voiced plateau needs a 4-deep
