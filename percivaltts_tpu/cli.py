@@ -41,6 +41,7 @@ def cmd_demo(args) -> int:
         num_utterances=args.num,
         seed=args.seed,
         hard=getattr(args, "hard", False),
+        jitter=getattr(args, "jitter", 0.0),
     )
     # drop a ready-to-edit config SIZED FOR the miniature corpus (small
     # model, few epochs, f32 so it also runs quickly on CPU); production
@@ -308,6 +309,14 @@ def main(argv=None) -> int:
         action="store_true",
         help="stress corpus: plosive bursts, silence clicks, wide f0, "
         "amplitude dynamics",
+    )
+    pd.add_argument(
+        "--jitter",
+        type=float,
+        default=0.0,
+        help="one-to-many corpus: per-phone-instance formant jitter "
+        "(e.g. 0.12 = ±12%% unlabeled formant shifts), the regime where "
+        "LSE must over-smooth and a critic has variance to restore",
     )
     pd.set_defaults(fn=cmd_demo)
 
