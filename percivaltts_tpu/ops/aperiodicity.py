@@ -107,12 +107,26 @@ def harmonic_noise_mask(
     hop: int,
     num_bands: int,
     f0_floor: float,
+    valley_smooth: int = 0,
+    vuv: jax.Array | None = None,
 ) -> jax.Array:
     """Per-harmonic noise fraction mapped to warped bands, (frames, bands).
 
     0 = fully deterministic/harmonic band, 1 = fully noise. See module
-    docstring for the estimator design."""
+    docstring for the estimator design. ``valley_smooth`` > 0 triangularly
+    smooths the per-harmonic VALLEY track over ±radius frames (voicing-
+    partitioned when ``vuv`` is given) before forming the ratio: the valley
+    is a 2-draw noise estimate whose per-frame variance both adds ratio
+    noise and carries a Jensen bias (the ratio is convex in the valley —
+    see tests/test_vocoder_variants.py); noise levels move slowly, so
+    smoothing in per-harmonic space (f0-drift-proof, unlike smoothing the
+    raw spectrum) cuts both. The smoothing is per-HARMONIC, matching
+    ops.aperiodicity.harmonic_envelope's valley_sm."""
     peak, valley, k, f0c = _peaks_valleys(wav, f0, fs, hop, f0_floor)
+    if valley_smooth:
+        from percivaltts_tpu.ops.cheaptrick import _time_smooth
+
+        valley = _time_smooth(valley, valley_smooth, vuv=vuv)
     harmpow = jnp.maximum(peak - valley, 0.0)
     nm_k = valley / jnp.maximum(valley + NM_RHO * harmpow, 1e-20)
     # harmonics at/above Nyquist carry no deterministic content

@@ -74,6 +74,18 @@ from percivaltts_tpu.vocoders.base import (
 # noise-mask roundtrip ≈ neutral — tests/test_vocoder_pml.py).
 NOISE_CAL = 0.97
 
+# Per-harmonic valley-track smoothing radius for the noise-mask estimator
+# (ops.aperiodicity.harmonic_noise_mask, voicing-partitioned). Measured
+# WORSE at radius 3 (scripts/boundary_diag.py 12 1234, closed_loop=2:
+# mean 4.39→5.67, flips 1.37→2.97%): the smoothed valleys shift the
+# low-band nm readings the voicing rule depends on, and the partition mask
+# (first analysis: YIN vuv of the original; re-analysis: YIN vuv of the
+# render) differs between the two analyses, so the smoothing itself
+# desynchronizes them — estimator CONSISTENCY beats per-frame variance
+# here, the same lesson as the envelope's voicing-gated-TE rejection.
+# Keep 0; do not retry without making the partition roundtrip-stable.
+NM_VALLEY_SMOOTH = 0
+
 # Minimum voiced-to-unvoiced low-band level gap (nats) for the
 # window-power-fraction placement of the rendered attack/release (see
 # pml_synthesize_amp_core); below it the edge falls back to a 1-frame
@@ -243,7 +255,10 @@ def pml_analyze_core(
     spec_w = env @ W_spec  # (nf, spec_size)
 
     if envelope in ("cheaptrick", "harmonic"):
-        nm_raw = _harmonic_noise_mask(wav, f0, fs, hop, nm_size, min(f0_min, 60.0))
+        nm_raw = _harmonic_noise_mask(
+            wav, f0, fs, hop, nm_size, min(f0_min, 60.0),
+            valley_smooth=NM_VALLEY_SMOOTH, vuv=vuv,
+        )
         nm = _erode5(nm_raw)
         # gate on the ERODED noisiness: the raw aperiodicity spikes on
         # voiced attack/release frames (its 4·T0 window straddles the edge
