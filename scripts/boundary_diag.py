@@ -5,7 +5,7 @@ voicing transition (14-20 dB there vs 6.6-7.9 beyond 10 frames). This tool
 breaks the per-frame MCD down by distance-to-boundary, boundary side, and
 warped band, so the boundary fix can be measured directly.
 
-Run on CPU: PYTHONPATH=. python scripts/boundary_diag.py [n_utts] [seed]
+Run on CPU: PYTHONPATH=.:$PYTHONPATH python scripts/boundary_diag.py [n_utts] [seed]
 """
 
 import os

@@ -9,7 +9,7 @@ mutation after the first synthesis would silently reuse stale jits) and
 prints a single summary line; drive a sweep with a shell loop:
 
   for na in 0.35 0.5 0.65 0.8; do
-    PYTHONPATH=. CL_NA=$na python scripts/cl_gate_sweep.py 8 1234
+    PYTHONPATH=.:$PYTHONPATH CL_NA=$na python scripts/cl_gate_sweep.py 8 1234
   done
 
 Env knobs: CL_NA (near alpha), CL_NC (near clamp), CL_BR (boundary

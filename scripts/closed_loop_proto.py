@@ -5,7 +5,7 @@ R = analyze(synthesize(.)) has a repeating per-frame/band bias component
 Correct the SPEC stream by f_c = f1 - alpha*(R(f1) - f1) and render again;
 measure MCD(f1, analyze(render(f_c))) vs the open-loop MCD(f1, R(f1)).
 
-Run: PYTHONPATH=. python scripts/closed_loop_proto.py [n_utts] [seed]
+Run: PYTHONPATH=.:$PYTHONPATH python scripts/closed_loop_proto.py [n_utts] [seed]
 """
 
 import os

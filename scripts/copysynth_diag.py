@@ -2,7 +2,7 @@
 
 Analyze -> synthesize -> re-analyze the demo corpus, then break the MCD down
 by voicing class and frame energy so vocoder-fidelity work targets the right
-frames. Run on CPU (small workload): PYTHONPATH=. python scripts/copysynth_diag.py
+frames. Run on CPU (small workload): PYTHONPATH=.:$PYTHONPATH python scripts/copysynth_diag.py
 """
 
 import os

@@ -7,7 +7,7 @@ near-constant bias b -> pre-compensate by rendering f1 - b. If corr ~ 0,
 the error is reading variance; if corr ~ -1, R is oscillating around a
 fixed point (render from (f1+f2)/2-ish or damp).
 
-Run: PYTHONPATH=. python scripts/double_roundtrip.py [n_utts] [seed]
+Run: PYTHONPATH=.:$PYTHONPATH python scripts/double_roundtrip.py [n_utts] [seed]
 """
 
 import os

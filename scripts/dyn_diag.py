@@ -5,7 +5,7 @@ amplitude-modulated / formant-moving — and prints the per-band-group
 roundtrip |log-env err| for each, isolating which dynamic the
 analyze→synthesize→analyze loop fails to track.
 
-Run: PYTHONPATH=. python scripts/dyn_diag.py
+Run: PYTHONPATH=.:$PYTHONPATH python scripts/dyn_diag.py
 """
 
 import numpy as np

@@ -2,7 +2,7 @@
 feats1 (original analysis) vs feats2 (copy-synthesis re-analysis) around
 each edge of one utterance, to attribute the near-boundary envelope error.
 
-Run: PYTHONPATH=. python scripts/edge_deepdive.py [utt_index]
+Run: PYTHONPATH=.:$PYTHONPATH python scripts/edge_deepdive.py [utt_index]
 """
 
 import os

@@ -2,7 +2,7 @@
 production-ish scale, MCD-selected checkpoint, generation + objective
 measures through the closed-loop vocoder.
 
-Run (TPU): PYTHONPATH=. python scripts/final_soak.py [root] [epochs] [n_utts] [hard]
+Run (TPU): PYTHONPATH=.:$PYTHONPATH python scripts/final_soak.py [root] [epochs] [n_utts] [hard]
 """
 
 import json

@@ -6,7 +6,7 @@ VUV error / global-variance ratio on the held-out test split. The expected
 shape of the result — similar MCD, GV ratio closer to 1 under the critic —
 is percival's whole thesis (reference ``optimizertts_wgan.py``).
 
-Run (TPU): PYTHONPATH=. python scripts/gan_study.py [root=/tmp/gan_study]
+Run (TPU): PYTHONPATH=.:$PYTHONPATH python scripts/gan_study.py [root=/tmp/gan_study]
 """
 
 import json

@@ -3,7 +3,7 @@
 Loads demo utterances, computes feats1, and for each voicing edge prints
 the true attack/release position (from the waveform's low-band RMS ramp)
 against candidate estimators reading only feats1 — the quantity the
-synthesis core can use. Run: PYTHONPATH=. python scripts/gate_proto.py
+synthesis core can use. Run: PYTHONPATH=.:$PYTHONPATH python scripts/gate_proto.py
 """
 
 import os

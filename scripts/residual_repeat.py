@@ -7,7 +7,7 @@ corr(e_0, e_1) over steady frames = the repeatable fraction of the residual
 (what a further correction pass could still cancel); 1 - corr is fresh
 reading/realization variance (irreducible by iteration).
 
-Run: PYTHONPATH=. python scripts/residual_repeat.py [n_utts] [seed]
+Run: PYTHONPATH=.:$PYTHONPATH python scripts/residual_repeat.py [n_utts] [seed]
 """
 
 import os

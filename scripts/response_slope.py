@@ -7,7 +7,7 @@ and the best gain is ~1; a sub-identity response shows up as the residual
 shrinking slower than (1-g). Reported separately for steady voiced /
 unvoiced frames (dist >= 10 from any voicing edge, no flips).
 
-Run: PYTHONPATH=. python scripts/response_slope.py [n_utts] [seed]
+Run: PYTHONPATH=.:$PYTHONPATH python scripts/response_slope.py [n_utts] [seed]
 """
 
 import os
