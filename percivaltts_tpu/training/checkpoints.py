@@ -112,6 +112,25 @@ class CheckpointManager:
             step = self.best_step() if best else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint found under {self.directory}")
+        # Cross-topology restore (e.g. TPU-trained checkpoint opened in a
+        # CPU-only analysis process): ``jax.eval_shape`` leaves carry no
+        # sharding, so Orbax falls back to the sharding FILE — which names
+        # devices that do not exist here and fails with "sharding ... Got
+        # None". Attaching a concrete default-device sharding to the
+        # abstract leaves restores anywhere; leaves that already carry a
+        # sharding (real state, mesh-sharded resume) are left untouched.
+        import jax
+
+        dev_sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+        def _with_sharding(leaf):
+            if isinstance(leaf, jax.ShapeDtypeStruct) and leaf.sharding is None:
+                return jax.ShapeDtypeStruct(
+                    leaf.shape, leaf.dtype, sharding=dev_sharding
+                )
+            return leaf
+
+        abstract_state = jax.tree.map(_with_sharding, abstract_state)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
 
     def close(self) -> None:
