@@ -42,6 +42,7 @@ def cmd_demo(args) -> int:
         seed=args.seed,
         hard=getattr(args, "hard", False),
         jitter=getattr(args, "jitter", 0.0),
+        speaker_f0=getattr(args, "speaker_f0", 0.0),
     )
     # drop a ready-to-edit config SIZED FOR the miniature corpus (small
     # model, few epochs, f32 so it also runs quickly on CPU); production
@@ -317,6 +318,16 @@ def main(argv=None) -> int:
         help="one-to-many corpus: per-phone-instance formant jitter "
         "(e.g. 0.12 = ±12%% unlabeled formant shifts), the regime where "
         "LSE must over-smooth and a critic has variance to restore",
+    )
+    pd.add_argument(
+        "--speaker-f0",
+        type=float,
+        default=0.0,
+        dest="speaker_f0",
+        help="single-speaker corpus: pin every utterance's base f0 (Hz), "
+        "making the f0 contour label-predictable (the default draws an "
+        "unlabeled per-utterance f0, leaving ~30 Hz of F0 RMSE "
+        "irreducible — see BASELINE.md)",
     )
     pd.set_defaults(fn=cmd_demo)
 

@@ -214,10 +214,22 @@ def generate_demo_corpus(
     max_phones: int = 12,
     hard: bool = False,
     jitter: float = 0.0,
+    speaker_f0: float = 0.0,
 ) -> List[str]:
     """Write a miniature corpus under ``root``: ``wav/``,
     ``label_state_align/``, ``questions.hed``, ``fileids.scp``.
     Returns the file-id list.
+
+    ``speaker_f0`` > 0 pins every utterance's base f0 to that value
+    (single-speaker corpus, like the reference's slt_arctic demo data).
+    The default draws ``f0_base ~ uniform`` per utterance WITHOUT encoding
+    it in the labels, which makes ~30 Hz of F0 RMSE irreducible from labels
+    by construction (measured: `scripts/f0_attrib.py`, BASELINE.md
+    "attribution CLOSED" row) — like a multi-speaker corpus with no speaker
+    feature. With a pinned speaker f0 the contour (declination + fixed
+    vibrato) is largely label-predictable, so end-to-end F0 RMSE becomes a
+    model-quality signal. Labels/questions are byte-identical either way
+    (f0 never enters them); the RNG draw sequence is preserved.
 
     ``hard=True`` raises difficulty toward real-corpus conditions (VERDICT
     round-2 item 4): plosive phones (closure/burst transients), clicks
@@ -269,7 +281,11 @@ def generate_demo_corpus(
         # quantize durations to whole 5 ms frames, 5 states per phone
         shift = 0.005
         durs = [max(round(d / shift), 5) * shift for d in durs]
+        # always draw (keeps the RNG sequence — and thus every other mode's
+        # output — byte-identical), then pin for the single-speaker mode
         f0_base = float(rng.uniform(75.0, 285.0) if hard else rng.uniform(110.0, 220.0))
+        if speaker_f0 > 0:
+            f0_base = float(speaker_f0)
         wav, f0_s, voiced_s = _synthesize_utterance(
             seq, durs, fs, f0_base, rng, hard=hard, jitter=jitter
         )

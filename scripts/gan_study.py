@@ -79,6 +79,7 @@ def main(
     hard: int = 0,
     jitter: float = 0.0,
     hidden: int = 128,
+    speaker_f0: float = 0.0,
 ):
     from percivaltts_tpu.data.demo import generate_demo_corpus
 
@@ -94,6 +95,7 @@ def main(
             # formant jitter): the regime where LSE *must* over-smooth and
             # the critic has something real to restore
             jitter=jitter,
+            speaker_f0=speaker_f0,
         )
 
     results = {}
@@ -163,5 +165,9 @@ if __name__ == "__main__":
     kw = {}
     for a in sys.argv[1:]:
         k, v = a.split("=")
-        kw[k] = v if k == "root" else (float(v) if k == "jitter" else int(v))
+        kw[k] = (
+            v
+            if k == "root"
+            else (float(v) if k in ("jitter", "speaker_f0") else int(v))
+        )
     main(**kw)

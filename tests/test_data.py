@@ -126,3 +126,44 @@ def test_demo_jitter_mode_one_to_many(tmp_path):
     wav = os.path.join("wav", "demo0000.wav")
     assert rd(a, wav) == rd(a2, wav)  # deterministic
     assert rd(a, wav) != rd(b, wav)  # jitter moved the acoustics
+
+
+def test_demo_speaker_f0_mode(tmp_path):
+    """speaker_f0 > 0 pins every utterance's base f0 (single-speaker
+    corpus): the ground-truth f0 tracks all sit on the pinned value's
+    declination band (across-utterance mean-f0 std collapses vs the
+    default's ~30 Hz draw), while labels/questions stay byte-identical —
+    f0 never enters the labels in either mode."""
+    import numpy as np
+
+    from percivaltts_tpu.data.demo import generate_demo_corpus
+
+    a, s = str(tmp_path / "a"), str(tmp_path / "s")
+    generate_demo_corpus(a, num_utterances=4, fs=16000, seed=11)
+    generate_demo_corpus(s, num_utterances=4, fs=16000, seed=11, speaker_f0=160.0)
+
+    def rd(root, rel):
+        with open(os.path.join(root, rel), "rb") as f:
+            return f.read()
+
+    for rel in (
+        "questions.hed",
+        "fileids.scp",
+        os.path.join("label_state_align", "demo0002.lab"),
+    ):
+        assert rd(a, rel) == rd(s, rel)
+
+    def voiced_means(root):
+        out = []
+        for i in range(4):
+            tr = np.load(os.path.join(root, "f0ref", f"demo{i:04d}.npy"))
+            v = tr[:, 1] > 0.5
+            out.append(tr[v, 0].mean())
+        return np.array(out)
+
+    ms, ma = voiced_means(s), voiced_means(a)
+    # pinned: every utterance mean within the declination band of 160 Hz
+    assert np.all(ms > 160.0 * 0.8) and np.all(ms < 160.0 * 1.05), ms
+    assert ms.std() < 5.0, ms
+    # the default mode's across-utterance spread is the irreducible term
+    assert ma.std() > 10.0, ma
