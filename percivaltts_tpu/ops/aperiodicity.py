@@ -53,6 +53,22 @@ def erode5(x: jax.Array) -> jax.Array:
     return erode1d(x, 2)
 
 
+# Read valleys from an ADDITIONAL 8·T0-window spectrum averaged over the
+# {k±3/8, k±1/2, k±5/8}·f0 nulls (6 draws per harmonic vs the 4·T0
+# window's 2). In theory a ~1.7× std cut on the noise reading (a
+# periodogram bin's variance is PSD² regardless of window length, so only
+# more independent null reads help). Measured WORSE on copy-synthesis
+# (scripts/boundary_diag.py 12 1234, closed_loop=2: mean 4.39→4.87,
+# steady 2.76→3.03, flips 1.37→2.00%): the power-lerp at the off-midpoint
+# nulls reads partway up the f0/8-wide sidelobe shoulders (harmonic
+# leakage the 4·T0 midpoint double-null doesn't have), and the 2× window
+# smears voicing edges past what the erode/gating machinery expects. The
+# steady-state floor did NOT drop — leakage replaced the variance it
+# removed. Keep False; a retry needs exact-bin nulls (f0-synchronous FFT
+# length), not lerp'd ones.
+VALLEY_8T0 = False
+
+
 def _peaks_valleys(wav, f0, fs, hop, f0_floor, time_smooth=0, vuv=None):
     """Shared 4·T0-window peak/valley measurement.
 
@@ -97,6 +113,32 @@ def _peaks_valleys(wav, f0, fs, hop, f0_floor, time_smooth=0, vuv=None):
         lerp_cols(P4, kpos - 0.5 * f0bins[:, None])
         + lerp_cols(P4, kpos + 0.5 * f0bins[:, None])
     )
+    if VALLEY_8T0:
+        Lnm8 = int(math.ceil(8.0 * fs / f0_floor))
+        fft8 = 1 << (Lnm8 - 1).bit_length()
+        frames8 = frame_signal(wav, Lnm8, hop)
+        halfw8 = 4.0 * fs / f0c
+        t8 = jnp.arange(Lnm8, dtype=jnp.float32) - (Lnm8 // 2)
+        w8 = jnp.where(
+            jnp.abs(t8)[None, :] <= halfw8[:, None],
+            0.5 + 0.5 * jnp.cos(jnp.pi * t8[None, :] / halfw8[:, None]),
+            0.0,
+        )
+        ws8 = jnp.maximum(jnp.sum(w8 * w8, axis=-1), 1e-12)
+        X8 = jnp.fft.rfft(frames8 * w8, n=fft8, axis=-1)
+        P8 = (X8.real * X8.real + X8.imag * X8.imag) / ws8[:, None]
+        if time_smooth:
+            from percivaltts_tpu.ops.cheaptrick import _time_smooth
+
+            P8 = _time_smooth(P8, time_smooth, vuv=vuv)
+        f0bins8 = f0c * fft8 / fs
+        kpos8 = f0bins8[:, None] * k[None, :]
+        acc = 0.0
+        offs = (0.375, 0.5, 0.625)
+        for o in offs:
+            acc = acc + lerp_cols(P8, kpos8 - o * f0bins8[:, None])
+            acc = acc + lerp_cols(P8, kpos8 + o * f0bins8[:, None])
+        valley = acc / (2.0 * len(offs))
     return peak, valley, k, f0c
 
 
