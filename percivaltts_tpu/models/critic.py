@@ -29,6 +29,59 @@ from percivaltts_tpu.config import ModelConfig, VocoderConfig
 from percivaltts_tpu.models.base import dtype_by_name as _dtype
 
 
+class TimeConvGemm(nn.Module):
+    """k-tap strided time-1D conv as an explicit im2col GEMM.
+
+    Numerically identical to ``nn.Conv(features, (k,), strides=(stride,),
+    padding="SAME")`` — same param names/shapes (checkpoint-compatible:
+    ``kernel`` (k, in, features), ``bias`` (features,)) and XLA's SAME
+    padding split (lo = total//2, hi = total − lo, i.e. the extra tap on
+    the right) — but lowered as pad + k strided slices + one
+    (B·T', k·C)×(k·C, F) matmul instead of the conv HLO. Measured faster
+    than the conv lowering on v5e at the critic's shapes IN ISOLATION
+    (B=32, T=512, C=256, k=5: fwd 1.83→1.55 ms, fwd+bwd 2.00→1.83;
+    `scripts/conv_probe.py`) — but MEASURED FAR WORSE inside the fused
+    WGAN-GP step (headline bench 4.70 → 3.08 M frames/s): the gradient
+    penalty's double backprop through the k stacked slices materializes
+    pad/slice/add chains that the conv HLO's transpose handles natively,
+    and the concat breaks XLA's conv+gelu+layernorm fusion. Kept (with the
+    exact-equality test) as the measured record; the critic uses nn.Conv.
+    The space-to-depth reformulation is the other conv dead end (reshape
+    cost, BASELINE.md).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, T, C = x.shape
+        k, s = self.kernel_size, self.stride
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, C, self.features),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype
+        )
+        To = -(-T // s)  # ceil
+        total = max((To - 1) * s + k - T, 0)
+        lo = total // 2
+        xp = jnp.pad(x, ((0, 0), (lo, total - lo), (0, 0)))
+        patches = jnp.concatenate(
+            [xp[:, j : j + (To - 1) * s + 1 : s, :] for j in range(k)], axis=-1
+        )
+        y = patches.astype(self.dtype) @ kernel.reshape(k * C, self.features).astype(
+            self.dtype
+        )
+        return y + bias.astype(self.dtype)
+
+
 class Critic(nn.Module):
     """score = Critic(cmp features, conditioning labels, mask) ∈ R per sample."""
 

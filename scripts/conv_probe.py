@@ -26,10 +26,10 @@ def timeit(fn, *args, n=20):
 
 
 def conv_xla(x, w):
+    w = w.astype(x.dtype)
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(S,), padding="SAME",
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
     )
 
 

@@ -1,3 +1,4 @@
+import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -139,3 +140,31 @@ def test_predict_batch_matches_per_utterance():
         for a, b in zip(batched, singles):
             assert a.shape == b.shape
             np.testing.assert_allclose(a, b, atol=1e-5, err_msg=kind)
+
+
+def test_time_conv_gemm_matches_nn_conv():
+    """TimeConvGemm must be a drop-in for nn.Conv(..., padding="SAME") —
+    identical param tree (checkpoint compatibility) and identical outputs
+    incl. XLA's asymmetric SAME split at stride 2 (pad lo=1, hi=2 for
+    k=5), for odd AND even lengths."""
+    from flax import linen as nn
+
+    from percivaltts_tpu.models.critic import TimeConvGemm
+
+    rng = np.random.default_rng(3)
+    for T, stride in ((64, 2), (64, 1), (33, 2), (33, 1)):
+        x = jnp.asarray(rng.normal(size=(2, T, 12)).astype(np.float32))
+        ref = nn.Conv(8, (5,), strides=(stride,), padding="SAME",
+                      dtype=jnp.float32, param_dtype=jnp.float32)
+        new = TimeConvGemm(8, 5, stride=stride,
+                           dtype=jnp.float32, param_dtype=jnp.float32)
+        params = ref.init(jax.random.key(0), x)
+        chex.assert_trees_all_equal_shapes(
+            params, new.init(jax.random.key(0), x)
+        )
+        np.testing.assert_allclose(
+            np.asarray(new.apply(params, x)),
+            np.asarray(ref.apply(params, x)),
+            atol=2e-5,
+            err_msg=f"T={T} stride={stride}",
+        )
