@@ -21,6 +21,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -234,6 +235,52 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export the trained generator as self-contained StableHLO serving
+    artifacts (``jax.export``): raw-label frames in, denormalized vocoder
+    features out, normalization + params folded into the graph. One
+    artifact per bucket bound + a manifest; loadable model-code-free via
+    ``eval.export.ExportedGenerator``. A TPU-native addition — the
+    reference has no serving path (SURVEY.md §2)."""
+    import numpy as np  # noqa: F401  (parity with sibling commands)
+
+    from percivaltts_tpu.data.normalize import NormStats
+    from percivaltts_tpu.eval.export import export_generator, write_export
+    from percivaltts_tpu.training.checkpoints import CheckpointManager
+    from percivaltts_tpu.training.state import abstract_gan_state
+
+    cfg = _load_config(args.config)
+    in_stats = NormStats.load(os.path.join(cfg.workdir, "in_stats.npz"))
+    out_stats = NormStats.load(os.path.join(cfg.workdir, "out_stats.npz"))
+    label_dim = int(in_stats.shift.shape[0])
+
+    state = abstract_gan_state(cfg, label_dim)
+    ckpt = CheckpointManager(os.path.join(cfg.workdir, "checkpoints"))
+    step = args.checkpoint if args.checkpoint is not None else ckpt.best_step()
+    state = ckpt.restore(state, step)
+    print_log(f"exporting generator from checkpoint step {step}")
+
+    artifacts = export_generator(
+        state.gen.apply_fn,
+        state.gen.params,
+        in_stats,
+        out_stats,
+        label_dim,
+        cfg.data.bucket_bounds,
+    )
+    outdir = args.out or os.path.join(cfg.workdir, "export")
+    mpath = write_export(
+        outdir,
+        artifacts,
+        label_dim,
+        int(out_stats.shift.shape[0]),
+        dataclasses.asdict(cfg.vocoder),
+    )
+    sizes = {b: len(d) for b, d in artifacts.items()}
+    print_log(f"wrote {len(artifacts)} artifacts to {outdir} (bytes per bound: {sizes}); manifest {mpath}")
+    return 0
+
+
 def cmd_measures(args) -> int:
     """Objective measures between two directories of per-utterance feature
     files (headerless float32, reference-bit-compatible) — the parity gate
@@ -372,6 +419,15 @@ def main(argv=None) -> int:
     ps.add_argument("--out", default=None)
     ps.add_argument("labels", nargs="+", help="label file paths or globs")
     ps.set_defaults(fn=cmd_synth)
+
+    px = sub.add_parser(
+        "export",
+        help="export the generator as StableHLO serving artifacts (jax.export)",
+    )
+    px.add_argument("--config", required=True)
+    px.add_argument("--out", default=None, help="output dir (default <workdir>/export)")
+    px.add_argument("--checkpoint", type=int, default=None)
+    px.set_defaults(fn=cmd_export)
 
     pp = sub.add_parser("plot", help="plot training curves from metrics.jsonl")
     pp.add_argument("--config", required=True)

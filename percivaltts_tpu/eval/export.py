@@ -1,0 +1,130 @@
+"""Serving export: the trained generator as a self-contained StableHLO
+artifact (`jax.export`), loadable without the model code.
+
+The reference has no serving story (SURVEY.md §2: training framework only);
+this is a TPU-native addition for production deployment: the exported
+function takes RAW binarized label frames and returns DENORMALIZED vocoder
+features — input normalization, the generator, and output denormalization
+are folded into one compiled graph with the checkpoint's parameters baked
+in as constants. Downstream synthesis (our vocoders, or any third-party
+vocoder consuming the feature schema) needs only the artifact + manifest.
+
+Artifacts are exported at each configured bucket bound (static shapes: the
+recurrent generators scan over time, which jax.export's symbolic shapes
+cannot relax without recompilation anyway); the loader pads an utterance to
+the smallest admitting bound and trims the result — the same contract the
+training pipeline uses (`data/dataset.py` bucketing).
+
+Layout under <workdir>/export/:
+    manifest.json              dims, bounds, vocoder schema, versions
+    gen_t<bound>.stablehlo     one serialized jax.export artifact per bound
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from percivaltts_tpu import __version__ as _pkg_version
+from percivaltts_tpu.data.normalize import NormStats
+
+
+def export_generator(
+    apply_fn: Callable,
+    params,
+    in_stats: NormStats,
+    out_stats: NormStats,
+    label_dim: int,
+    bounds: Sequence[int],
+) -> Dict[int, bytes]:
+    """Serialize label→features inference at each bucket bound.
+
+    Returns {bound: serialized bytes}. The function signature of each
+    artifact is (1, bound, label_dim) f32 raw labels → (1, bound, feat_dim)
+    f32 denormalized features."""
+    from jax import export as jexport
+
+    i_shift = jnp.asarray(in_stats.shift, jnp.float32)
+    i_scale = jnp.asarray(in_stats.scale, jnp.float32)
+    o_shift = jnp.asarray(out_stats.shift, jnp.float32)
+    o_scale = jnp.asarray(out_stats.scale, jnp.float32)
+
+    def infer(lab):
+        cmp_n = apply_fn(params, (lab - i_shift) * i_scale)
+        return cmp_n.astype(jnp.float32) / o_scale + o_shift
+
+    out = {}
+    for bound in bounds:
+        spec = jax.ShapeDtypeStruct((1, int(bound), label_dim), jnp.float32)
+        out[int(bound)] = jexport.export(jax.jit(infer))(spec).serialize()
+    return out
+
+
+def write_export(
+    outdir: str,
+    artifacts: Dict[int, bytes],
+    label_dim: int,
+    feat_dim: int,
+    vocoder_dict: dict,
+) -> str:
+    os.makedirs(outdir, exist_ok=True)
+    for bound, data in artifacts.items():
+        with open(os.path.join(outdir, f"gen_t{bound}.stablehlo"), "wb") as f:
+            f.write(data)
+    manifest = {
+        "format": "jax.export/stablehlo",
+        "package_version": _pkg_version,
+        "jax_version": jax.__version__,
+        "label_dim": label_dim,
+        "feat_dim": feat_dim,
+        "bounds": sorted(artifacts),
+        "vocoder": vocoder_dict,
+    }
+    mpath = os.path.join(outdir, "manifest.json")
+    with open(mpath, "w") as f:
+        json.dump(manifest, f, indent=2)
+    return mpath
+
+
+class ExportedGenerator:
+    """Load an export dir and run label→feature inference, model-code-free.
+
+    Pads each utterance to the smallest admitting bound and trims the
+    output, mirroring the training bucketing contract. Raises ValueError
+    for utterances longer than the largest exported bound (the producer
+    chose the bounds; silently truncating would corrupt synthesis)."""
+
+    def __init__(self, directory: str):
+        with open(os.path.join(directory, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        from jax import export as jexport
+
+        self._fns = {}
+        for bound in self.manifest["bounds"]:
+            path = os.path.join(directory, f"gen_t{bound}.stablehlo")
+            with open(path, "rb") as f:
+                self._fns[bound] = jexport.deserialize(f.read())
+
+    @property
+    def bounds(self):
+        return sorted(self._fns)
+
+    def __call__(self, lab: np.ndarray) -> np.ndarray:
+        """(T, label_dim) raw label frames → (T, feat_dim) features."""
+        T = lab.shape[0]
+        fit = [b for b in self.bounds if b >= T]
+        if not fit:
+            raise ValueError(
+                f"utterance has {T} frames; largest exported bound is "
+                f"{self.bounds[-1]} — re-export with a larger bucket bound"
+            )
+        bound = fit[0]
+        padded = np.zeros((1, bound, lab.shape[1]), np.float32)
+        padded[0, :T] = lab
+        out = self._fns[bound].call(jnp.asarray(padded))
+        return np.asarray(out)[0, :T]

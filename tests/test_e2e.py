@@ -86,6 +86,58 @@ def test_compose_train_generate(corpus, tmp_path):
     assert cli_main(["plot", "--config", cfg_path]) == 0
     assert os.path.getsize(os.path.join(workdir, "curves.png")) > 5000
 
+    # serving export: StableHLO artifacts reload model-code-free and must
+    # reproduce the library predict path (normalize → generator →
+    # denormalize) exactly on a shorter-than-bound utterance
+    assert cli_main(["export", "--config", cfg_path]) == 0
+    exp_dir = os.path.join(workdir, "export")
+    assert os.path.exists(os.path.join(exp_dir, "manifest.json"))
+    assert os.path.exists(os.path.join(exp_dir, "gen_t256.stablehlo"))
+
+    from percivaltts_tpu.data.hts_labels import QuestionSet, binarize_label_file
+    from percivaltts_tpu.data.normalize import NormStats
+    from percivaltts_tpu.eval.export import ExportedGenerator
+    from percivaltts_tpu.models.base import predict_utterance
+    from percivaltts_tpu.training.checkpoints import CheckpointManager
+    from percivaltts_tpu.training.state import abstract_gan_state
+
+    cfg = Configuration.load(cfg_path)
+    q = QuestionSet.from_hed(cfg.data.question_file)
+    ids = open(os.path.join(corpus, "fileids.scp")).read().split()
+    lab = None
+    for uid in ids:  # first utterance that fits the exported bound
+        cand = binarize_label_file(
+            os.path.join(corpus, "label_state_align", uid + ".lab"),
+            q,
+            cfg.vocoder.shift_ms / 1000.0,
+        ).astype(np.float32)
+        if cand.shape[0] < 256:
+            lab = cand
+            break
+    assert lab is not None
+
+    exported = ExportedGenerator(exp_dir)
+    got = exported(lab)
+
+    in_stats = NormStats.load(os.path.join(workdir, "in_stats.npz"))
+    out_stats = NormStats.load(os.path.join(workdir, "out_stats.npz"))
+    state = abstract_gan_state(cfg, lab.shape[1])
+    state = CheckpointManager(os.path.join(workdir, "checkpoints")).restore(
+        state, best=True
+    )
+    # direct path pads to 64-multiples; the exported artifact pads to the
+    # bucket bound — the FC generator is frame-local so both trims agree
+    want = out_stats.denormalize(
+        predict_utterance(
+            state.gen.apply_fn, state.gen.params, in_stats.normalize(lab)
+        )
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-4)
+
+    with pytest.raises(ValueError):
+        exported(np.zeros((257, lab.shape[1]), np.float32))
+
 
 @pytest.mark.parametrize("kind,extra", [("world", {}), ("melspec", {"mel_size": 24})])
 def test_other_vocoders_end_to_end(corpus, tmp_path, kind, extra):
