@@ -68,6 +68,112 @@ def erode5(x: jax.Array) -> jax.Array:
 # length), not lerp'd ones.
 VALLEY_8T0 = False
 
+# Pitch-SYNCHRONOUS peak/valley spectrum: resample PS_PERIODS periods of
+# signal to a fixed PS_N-sample frame (linear interp), so harmonic k lands
+# EXACTLY on bin PS_PERIODS·k and every inter-harmonic bin at offsets
+# ±2..±6 is an exact null of both neighbors (full-length periodic Hann
+# mainlobe = ±2 bins): 10 leakage-free noise draws per harmonic instead of
+# 2 power-lerp'd ones, and exact-bin peaks. Prototype measurement
+# (`scripts/psync_proto.py`): valley reading rel-std 0.52–0.80 →
+# 0.33–0.44, pure-noise 0.70 → 0.39, peak rel-std −20%. Readings are
+# converted back to the production 4·T0 conventions (see
+# _psync_peaks_valleys) so downstream calibration constants (ENV_PK, CAL,
+# NM_RHO, NOISE_CAL) keep their meaning; the linear interpolator's sinc²
+# amplitude roll-off is divided out analytically. Caveat: the resampled
+# Nyquist is (PS_N/(2·PS_PERIODS))·f0 — full-band only for f0 ≥ 62.5 Hz at
+# the defaults; harmonics above it lose the exactness guarantee.
+#
+# MEASURED RESULT (round-3 session 5): wins every micro-benchmark — valley
+# rel-std 0.70→0.39, mixture-oracle Jensen bias +0.04→+0.01, exact-bin
+# peak conventions to ≤1% — and still LOSES end-to-end copy-synthesis
+# (scripts/boundary_diag.py 12 1234, closed_loop=2: mean 4.39→5.70,
+# steady 2.76→3.50, flips 1.37→2.74% with INTERIOR flips appearing).
+# Best explanation: synthesis renders pitch-MODULATED phase-only noise,
+# and a pitch-SYNCHRONOUS reader is exactly the analyzer that aliases
+# pitch-rate modulation sidebands coherently onto its harmonic/null bins
+# (±f0 sidebands = ±PS_PERIODS bins — always landing on other read
+# points), so the original's Gaussian noise and the render's modulated
+# noise read DIFFERENTLY and the closed loop can no longer cancel the
+# roundtrip bias at the voicing-critical bands. Third instance of the
+# same lesson (voicing-gated TE, nm valley smoothing): the copy-synthesis
+# loop rewards original↔render reading CONSISTENCY over per-reading
+# accuracy. Kept behind this flag with conventions pinned by
+# tests/test_vocoder_variants.py::test_psync_reader_conventions; a retry
+# must first make the renderer's noise statistics pitch-synchronously
+# stationary (or calibrate PS_NOISE_CAL separately for the render's
+# modulated noise).
+PSYNC = False
+PS_N = 2048
+PS_PERIODS = 8
+
+
+def _psync_peaks_valleys(wav, f0c, fs, hop, nf, K):
+    """Pitch-synchronous exact-bin (peak, valley), (nf, K) each, in the
+    4·T0 path's conventions (peak: such that a² = peak·ENV_PK·f0/fs;
+    valley: white noise of per-sample variance σ² reads σ²)."""
+    span = PS_PERIODS * fs / f0c  # (nf,) original samples per frame
+    centers = jnp.arange(nf, dtype=jnp.float32) * hop
+    rel = (jnp.arange(PS_N, dtype=jnp.float32) - PS_N / 2) / PS_N  # (N,)
+    idx = centers[:, None] + rel[None, :] * span[:, None]
+    idx = jnp.clip(idx, 0.0, wav.shape[0] - 1.001)
+    i0 = jnp.floor(idx).astype(jnp.int32)
+    frac = (idx - i0).astype(wav.dtype)
+    seg = wav[i0] * (1.0 - frac) + wav[i0 + 1] * frac  # (nf, N)
+    n = jnp.arange(PS_N, dtype=jnp.float32)
+    win = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n / PS_N)  # periodic Hann
+    wsum2 = jnp.sum(win * win)
+    X = jnp.fft.rfft(seg * win, axis=-1)
+    P = (X.real * X.real + X.imag * X.imag) / wsum2  # (nf, N/2+1)
+
+    ks = jnp.arange(1, K + 1)
+    pk_bins = PS_PERIODS * ks  # exact harmonic bins
+    # linear-interp power roll-off |sinc(f/fs)|⁴ at the read frequency,
+    # divided out so readings match the native-rate conventions
+    fk = ks[None, :].astype(jnp.float32) * f0c[:, None]  # (nf, K) Hz
+
+    def corr(fhz):
+        x = jnp.pi * fhz / fs
+        s = jnp.where(x > 1e-6, jnp.sin(x) / jnp.maximum(x, 1e-6), 1.0)
+        return 1.0 / jnp.maximum(s * s * s * s, 1e-3)
+
+    cap = PS_N // 2 - PS_PERIODS  # last fully-representable bin
+    pk_bins_c = jnp.minimum(pk_bins, cap)
+    acc = 0.0
+    offs = (-6, -5, -4, -3, -2, 2, 3, 4, 5, 6)
+    for o in offs:
+        b = jnp.clip(pk_bins_c + o, 1, PS_N // 2)
+        fo = fk + o * f0c[:, None] / PS_PERIODS
+        acc = acc + P[:, b] * corr(jnp.abs(fo))
+    vraw = acc / len(offs)  # noise bin-PSD in psync P units
+    # → 4·T0 σ²-convention: upsampled noise concentrates its power in the
+    # fs/rate_r fraction of the resampled band (rate_r = N·f0/PS_PERIODS),
+    # so the in-band PSD reads σ²·rate_r/fs — divide it back out. Measured
+    # κ = PS_NOISE_CAL ≈ 1.0 across f0 ∈ [90, 250] (0.993–1.028).
+    rate_ratio = (PS_PERIODS * fs) / (PS_N * f0c[:, None])
+    valley = vraw * rate_ratio * PS_NOISE_CAL
+
+    # peak: a pure harmonic of amplitude a reads P_pk = a²·(Σw)²/(4·Σw²)
+    # = a²·N/6 (periodic Hann); the bin also carries the local noise
+    # floor, directly comparable to vraw in the SAME P units — subtract it
+    # there, convert the harmonic part to the 4·T0 peak convention
+    # (a² = peak·ENV_PK·f0/fs ⇒ peak = a²·fs/(ENV_PK·f0)), and re-add the
+    # σ²-convention valley so downstream's max(peak − valley, 0) recovers
+    # the harmonic term exactly (as it does for the 4·T0 spectrum, where
+    # peak and valley share units natively).
+    a2 = jnp.maximum(P[:, pk_bins_c] * corr(fk) - vraw, 0.0) * (6.0 / PS_N)
+    peak = a2 * fs / (ENV_PK * f0c[:, None]) + valley
+    return peak, valley
+
+
+# valley convention factor: stationary white noise of per-sample variance
+# σ² must read σ² (the 4·T0 path's Σw²-normalized convention). The lerp
+# resampling both colors the noise (sinc⁴, divided out above) and scales
+# its per-sample variance (position-dependent var(lerp) = 1−2f(1−f),
+# frame-averaged); the residual constant is measured on pure-noise
+# roundtrips across f0 ∈ [90, 280] (tests/test_cheaptrick.py gates the
+# production path; value measured by scripts/psync_proto.py methodology).
+PS_NOISE_CAL = 1.0
+
 
 def _peaks_valleys(wav, f0, fs, hop, f0_floor, time_smooth=0, vuv=None):
     """Shared 4·T0-window peak/valley measurement.
@@ -82,6 +188,22 @@ def _peaks_valleys(wav, f0, fs, hop, f0_floor, time_smooth=0, vuv=None):
     Lnm = int(math.ceil(4.0 * fs / f0_floor))
     fftnm = 1 << (Lnm - 1).bit_length()
     f0c = jnp.clip(f0, f0_floor, fs / 8.0)
+
+    if PSYNC:
+        from percivaltts_tpu.ops.stft import num_frames as _num_frames
+
+        nf = _num_frames(wav.shape[0], Lnm, hop)
+        K = int(fs / 2.0 / f0_floor)
+        k = jnp.arange(1, K + 1, dtype=jnp.float32)
+        peak, valley = _psync_peaks_valleys(wav, f0c, fs, hop, nf, K)
+        if time_smooth:
+            # smooth the per-harmonic tracks (f0-drift-proof), not the raw
+            # spectrum — the psync grid realigns harmonics frame by frame
+            from percivaltts_tpu.ops.cheaptrick import _time_smooth
+
+            peak = _time_smooth(peak, time_smooth, vuv=vuv)
+            valley = _time_smooth(valley, time_smooth, vuv=vuv)
+        return peak, valley, k, f0c
 
     frames4 = frame_signal(wav, Lnm, hop)  # (nf, Lnm) centered at i·hop
     halfw = 2.0 * fs / f0c  # (nf,) half window = 2·T0

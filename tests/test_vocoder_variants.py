@@ -250,3 +250,36 @@ def test_world_closed_loop_beats_open_loop(tmp_path):
     # 6.80 mean / 4.10 median, round-3 session 3; 12-utt diag: 6.00/3.54)
     assert pf_c.mean() < 7.8, pf_c.mean()
     assert np.median(pf_c) < 4.7, np.median(pf_c)
+
+
+def test_psync_reader_conventions():
+    """The pitch-synchronous exact-bin reader (ops.aperiodicity.PSYNC
+    alternative — measured better per-reading but worse in the closed loop,
+    see the module comment) must keep the production conventions it
+    advertises: a pure harmonic of amplitude a reads back a² through the
+    4·T0 peak formula, and white noise of per-sample variance σ² reads
+    valley ≈ σ², across f0."""
+    import jax.numpy as jnp
+
+    from percivaltts_tpu.ops import aperiodicity as ap
+
+    rng = np.random.default_rng(0)
+    t = np.arange(FS * 2) / FS
+    for f0 in (110.0, 250.0):
+        nf = int(len(t) // HOP)
+        track = jnp.full((nf,), f0, jnp.float32)
+        # pure tone at harmonic 10
+        sig = (0.3 * np.cos(2 * np.pi * 10 * f0 * t + 1.1)).astype(np.float32)
+        p, v = ap._psync_peaks_valleys(
+            jnp.asarray(sig), jnp.clip(track, 60.0, FS / 8), FS, HOP, nf, 30
+        )
+        a2 = np.asarray(p - v)[6:-6, 9] * ap.ENV_PK * f0 / FS
+        np.testing.assert_allclose(a2.mean(), 0.09, rtol=0.03)
+        # white noise, sigma^2 = 1
+        noise = rng.normal(size=len(t)).astype(np.float32)
+        _, vn = ap._psync_peaks_valleys(
+            jnp.asarray(noise), jnp.clip(track, 60.0, FS / 8), FS, HOP, nf, 30
+        )
+        kmax = int(FS / 2 / f0) - 2
+        mean = float(np.asarray(vn)[6:-6, 1:kmax].mean())
+        assert 0.9 < mean < 1.12, (f0, mean)
