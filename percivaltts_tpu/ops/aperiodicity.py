@@ -88,20 +88,21 @@ VALLEY_8T0 = False
 # peak conventions to ≤1% — and still LOSES end-to-end copy-synthesis
 # (scripts/boundary_diag.py 12 1234, closed_loop=2: mean 4.39→5.70,
 # steady 2.76→3.50, flips 1.37→2.74% with INTERIOR flips appearing).
-# Best explanation: synthesis renders pitch-MODULATED phase-only noise,
-# and a pitch-SYNCHRONOUS reader is exactly the analyzer that aliases
-# pitch-rate modulation sidebands coherently onto its harmonic/null bins
-# (±f0 sidebands = ±PS_PERIODS bins — always landing on other read
-# points), so the original's Gaussian noise and the render's modulated
-# noise read DIFFERENTLY and the closed loop can no longer cancel the
-# roundtrip bias at the voicing-critical bands. Third instance of the
-# same lesson (voicing-gated TE, nm valley smoothing): the copy-synthesis
-# loop rewards original↔render reading CONSISTENCY over per-reading
-# accuracy. Kept behind this flag with conventions pinned by
+# The modulated-noise-aliasing hypothesis (the renderer's pitch-modulated
+# noise has ±f0 sidebands that land exactly on psync read bins) was
+# TESTED by a noise_mod=0 knockout and explains only a small part:
+# PSYNC+mod 5.70 / 2.74% → PSYNC+no-mod 5.53 / 2.31% — still far from
+# the 4.39 / 1.37% baseline. The remaining deficit is unattributed
+# (candidates: edge-clamped resampling vs the 4·T0 zero-padding the
+# erode/gate radii were tuned for; lerp-coloring residuals on real AM
+# signals). Third instance of the same lesson (voicing-gated TE, nm
+# valley smoothing): the copy-synthesis loop rewards original↔render
+# reading CONSISTENCY over per-reading accuracy, and every constant
+# downstream is tuned to the production reader's error profile. Kept
+# behind this flag with conventions pinned by
 # tests/test_vocoder_variants.py::test_psync_reader_conventions; a retry
-# must first make the renderer's noise statistics pitch-synchronously
-# stationary (or calibrate PS_NOISE_CAL separately for the render's
-# modulated noise).
+# needs the boundary machinery re-tuned for this reader, not just the
+# reader swapped.
 PSYNC = False
 PS_N = 2048
 PS_PERIODS = 8
