@@ -97,7 +97,15 @@ class ExportedGenerator:
     Pads each utterance to the smallest admitting bound and trims the
     output, mirroring the training bucketing contract. Raises ValueError
     for utterances longer than the largest exported bound (the producer
-    chose the bounds; silently truncating would corrupt synthesis)."""
+    chose the bounds; silently truncating would corrupt synthesis).
+
+    Note for recurrent generators (BLSTM/BGRU tiers): the backward scan
+    crosses the zero-pad tail, so outputs depend on the pad length. The
+    artifact's contract is bucket-bound padding — the same padding the
+    model saw in training batches (`data/dataset.py`) — which differs from
+    `models.base.predict_utterance`'s own-length 64-multiple padding by a
+    (train-consistent) tail; tests pin exact equality under matched
+    padding (`tests/test_export.py`)."""
 
     def __init__(self, directory: str):
         with open(os.path.join(directory, "manifest.json")) as f:
