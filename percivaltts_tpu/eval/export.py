@@ -45,8 +45,14 @@ def export_generator(
     """Serialize label→features inference at each bucket bound.
 
     Returns {bound: serialized bytes}. The function signature of each
-    artifact is (1, bound, label_dim) f32 raw labels → (1, bound, feat_dim)
-    f32 denormalized features."""
+    artifact is ((1, bound, label_dim) f32 raw labels, () int32 n_frames)
+    → (1, bound, feat_dim) f32 denormalized features. ``n_frames`` masks
+    the pad tail to zero IN NORMALIZED SPACE inside the graph — the exact
+    padding convention training batches use (`data/dataset.py` pads
+    normalized features with zero rows); normalizing a zero-padded RAW
+    input instead would put (0 − shift)·scale ≠ 0 in the tail, which the
+    recurrent generators' backward scan reads (caught by
+    tests/test_export.py)."""
     from jax import export as jexport
 
     i_shift = jnp.asarray(in_stats.shift, jnp.float32)
@@ -54,14 +60,17 @@ def export_generator(
     o_shift = jnp.asarray(out_stats.shift, jnp.float32)
     o_scale = jnp.asarray(out_stats.scale, jnp.float32)
 
-    def infer(lab):
-        cmp_n = apply_fn(params, (lab - i_shift) * i_scale)
+    def infer(lab, n_frames):
+        valid = (jnp.arange(lab.shape[1]) < n_frames)[None, :, None]
+        lab_n = (lab - i_shift) * i_scale * valid
+        cmp_n = apply_fn(params, lab_n)
         return cmp_n.astype(jnp.float32) / o_scale + o_shift
 
     out = {}
     for bound in bounds:
         spec = jax.ShapeDtypeStruct((1, int(bound), label_dim), jnp.float32)
-        out[int(bound)] = jexport.export(jax.jit(infer))(spec).serialize()
+        nspec = jax.ShapeDtypeStruct((), jnp.int32)
+        out[int(bound)] = jexport.export(jax.jit(infer))(spec, nspec).serialize()
     return out
 
 
@@ -134,5 +143,5 @@ class ExportedGenerator:
         bound = fit[0]
         padded = np.zeros((1, bound, lab.shape[1]), np.float32)
         padded[0, :T] = lab
-        out = self._fns[bound].call(jnp.asarray(padded))
+        out = self._fns[bound].call(jnp.asarray(padded), jnp.int32(T))
         return np.asarray(out)[0, :T]
