@@ -247,9 +247,10 @@ def test_world_closed_loop_beats_open_loop(tmp_path):
     assert pf_c.mean() < pf_o.mean() - 0.5, (pf_c.mean(), pf_o.mean())
     assert np.median(pf_c) < np.median(pf_o) - 0.5
     # absolute fidelity gate at measured+15% (this 2-utt corpus measures
-    # 6.80 mean / 4.10 median, round-3 session 3; 12-utt diag: 6.00/3.54)
-    assert pf_c.mean() < 7.8, pf_c.mean()
-    assert np.median(pf_c) < 4.7, np.median(pf_c)
+    # 3.93 mean / 2.61 median with the harmonic envelope + noise-band
+    # smoothing, round-3 session 7; 12-utt diag: 4.51/2.85)
+    assert pf_c.mean() < 4.5, pf_c.mean()
+    assert np.median(pf_c) < 3.0, np.median(pf_c)
 
 
 def test_psync_reader_conventions():
