@@ -751,6 +751,18 @@ CL_FULL_ALPHA = 1.1
 # 0.33 — saturates there; 0.42 no better). Bands above the voicing-read
 # region carry most of the interior error mass and cannot flip anything.
 CL_IT2_FREEZE_FRAC = 0.33
+# Noise-mask pre-compensation gain in the closed loop (0 = off). When
+# > 0, interior frames also subtract the nm stream's roundtrip error
+# (clamped to ±CL_NM_CLAMP) before re-rendering, on the same
+# repeatable-bias argument as the spec correction. Swept at 0.5/1.0
+# (scripts/cl_gate_sweep.py, 12 utts, it=2): 0.5 buys a consistent but
+# small 0.04–0.05 dB mean on seeds 1234/777/42 (4.39→4.34 / 4.74→4.69 /
+# 4.53→4.49) and improves tuned-seed flips, but regresses the HELD-OUT
+# seed's flips 1.63→1.75% — rejected by the no-flip-regression rule
+# (same precedent as CL_NEAR_ALPHA=0.65); 1.0 is worse on both axes.
+# Knob retained for re-sweeps if the nm estimator changes.
+CL_NM_ALPHA = 0.0
+CL_NM_CLAMP = 0.3
 
 
 # THE voicing rule, defined once: a frame is voiced iff the mean of the
@@ -869,8 +881,9 @@ def pml_closed_loop_core(
     clamp = (CL_CLAMP - (CL_CLAMP - CL_NEAR_CLAMP) * near)[:, None]
 
     spec_c = spec_w
+    nm_c = nm_w
     for it in range(iters):
-        wav = pml_synthesize_amp_core(lf0, spec_c, nm_w, **syn_kw)
+        wav = pml_synthesize_amp_core(lf0, spec_c, nm_c, **syn_kw)
         feats2, _ = pml_analyze_core(wav, **ana_kw)
         spec2 = feats2[:, 1 : 1 + spec_size]
         nm2 = feats2[:, 1 + spec_size :]
@@ -908,7 +921,12 @@ def pml_closed_loop_core(
         # without a way to separate the two components first.
         e = jnp.clip(spec2 - spec_w, -c_it, c_it) * a_it * same
         spec_c = spec_c - e
-    return pml_synthesize_amp_core(lf0, spec_c, nm_w, **syn_kw)
+        if CL_NM_ALPHA > 0.0:
+            # interior-only nm pre-compensation (see CL_NM_ALPHA)
+            a_nm = (CL_NM_ALPHA * (1.0 - near))[:, None] * same
+            en = jnp.clip(nm2 - nm_w, -CL_NM_CLAMP, CL_NM_CLAMP) * a_nm
+            nm_c = jnp.clip(nm_c - en, 0.0, 1.0)
+    return pml_synthesize_amp_core(lf0, spec_c, nm_c, **syn_kw)
 
 
 @functools.partial(

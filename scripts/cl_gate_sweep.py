@@ -32,6 +32,8 @@ BR = int(os.environ.get("CL_BR", pml.CL_BOUNDARY_RADIUS))
 FA = float(os.environ.get("CL_FA", pml.CL_FULL_ALPHA))
 FZ = float(os.environ.get("CL_FZ", pml.CL_IT2_FREEZE_FRAC))
 NAH = float(os.environ.get("CL_NA_HI", pml.CL_NEAR_ALPHA_HI))
+NMA = float(os.environ.get("CL_NM_A", pml.CL_NM_ALPHA))
+pml.CL_NM_ALPHA = NMA
 pml.CL_NEAR_ALPHA = NA
 pml.CL_NEAR_CLAMP = NC
 pml.CL_BOUNDARY_RADIUS = BR
@@ -85,7 +87,7 @@ def main(n_utts: int = 8, seed: int = 1234):
     near = ok & (d <= 3)
     far = ok & (d >= 10)
     print(
-        f"NA={NA}/{NAH} NC={NC} BR={BR} FA={FA} FZ={FZ} it={cfg.closed_loop} | "
+        f"NA={NA}/{NAH} NC={NC} BR={BR} FA={FA} FZ={FZ} NMA={NMA} it={cfg.closed_loop} | "
         f"mean={pf.mean():.3f} med={np.median(pf):.3f} "
         f"near03={pf[near].mean():.2f} far={pf[far].mean():.3f} "
         f"flips={flip.mean() * 100:.2f}% (n={len(pf)})"
