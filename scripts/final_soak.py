@@ -46,7 +46,12 @@ def main(
             bucket_bounds=(256,),
             label_dim=0,
         ),
-        vocoder=VocoderConfig(kind="pml", fs=16000, spec_size=33, nm_size=17),
+        vocoder=VocoderConfig(
+            kind=os.environ.get("VOC_KIND", "pml"),
+            fs=16000,
+            spec_size=33,
+            nm_size=17,
+        ),
         model=ModelConfig(
             generator="cnn_blstm",
             hidden_size=256,
@@ -61,7 +66,11 @@ def main(
             epochs=epochs,
             steps_per_epoch=50,
             lse_weight=0.25,
-            stream_weights=(("f0", 8.0), ("spec", 1.0), ("nm", 1.0)),
+            stream_weights=(
+                (("f0", 8.0), ("vuv", 4.0), ("spec", 1.0), ("bap", 1.0))
+                if os.environ.get("VOC_KIND", "pml") == "world"
+                else (("f0", 8.0), ("spec", 1.0), ("nm", 1.0))
+            ),
             checkpoint_every=5,
             keep_checkpoints=2,
             measures_every=5,
