@@ -60,6 +60,7 @@ def main(
             critic_channels=32,
             critic_blocks=4,
             critic_hidden=256,
+            critic_norm=os.environ.get("CRITIC_NORM", "layer"),
         ),
         train=TrainConfig(
             trainer="wgan",
