@@ -156,10 +156,14 @@ class ModelConfig:
     critic_channels: int = 32
     critic_blocks: int = 4
     critic_hidden: int = 256
-    # per WGAN-GP practice the critic never uses batch norm; "layer" (default)
-    # or "none" (the reference's likely plain-conv critic; also removes the
-    # norm layers' HBM-bound elementwise passes)
-    critic_norm: str = "layer"
+    # per WGAN-GP practice the critic never uses batch norm. "none"
+    # (default) matches the reference's likely plain-conv critic AND is
+    # measured 7% faster on the fused headline step (21.88 → 20.34 ms —
+    # the layer norms are HBM-bound elementwise passes,
+    # scripts/critic_norm_probe.py); production soaks on the friendly and
+    # hard corpora are stable at equal-or-better measures without it
+    # (BASELINE.md round-3 session 7). "layer" remains available.
+    critic_norm: str = "none"
     # numerics: bf16 compute with f32 master weights/optimizer state
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
