@@ -26,7 +26,11 @@ from percivaltts_tpu.utils.logging import print_log
 
 
 def build_cfg(
-    root: str, trainer: str, epochs: int, hidden: int = 128
+    root: str,
+    trainer: str,
+    epochs: int,
+    hidden: int = 128,
+    lse_w: float = 0.25,
 ) -> Configuration:
     # The round-2 soak recipe (converged to test MCD 8.75 in 2000 WGAN outer
     # steps): spec 33 / nm 17, critic_hidden 128, 3 CNN blocks. At spec 65 /
@@ -34,7 +38,11 @@ def build_cfg(
     # the 30 dB range (measured 2026-08-17) — a fixed-budget comparison must
     # run both objectives at a scale where the budget suffices.
     return Configuration(
-        workdir=os.path.join(root, f"exp_{trainer}"),
+        workdir=os.path.join(
+            root,
+            f"exp_{trainer}"
+            + (f"_w{lse_w:g}" if trainer == "wgan" and lse_w != 0.25 else ""),
+        ),
         data=DataConfig(
             corpus_dir=os.path.join(root, "corpus"),
             question_file=os.path.join(root, "corpus", "questions.hed"),
@@ -59,7 +67,7 @@ def build_cfg(
             trainer=trainer,
             epochs=epochs,
             steps_per_epoch=50,
-            lse_weight=0.25,
+            lse_weight=lse_w,
             stream_weights=(("f0", 8.0), ("spec", 1.0), ("nm", 1.0)),
             checkpoint_every=5,
             keep_checkpoints=2,
@@ -80,6 +88,8 @@ def main(
     jitter: float = 0.0,
     hidden: int = 128,
     speaker_f0: float = 0.0,
+    lse_w: float = 0.25,
+    arms: str = "lse,wgan",
 ):
     from percivaltts_tpu.data.demo import generate_demo_corpus
 
@@ -99,8 +109,8 @@ def main(
         )
 
     results = {}
-    for trainer in ("lse", "wgan"):
-        cfg = build_cfg(root, trainer, epochs, hidden=hidden)
+    for trainer in arms.split(","):
+        cfg = build_cfg(root, trainer, epochs, hidden=hidden, lse_w=lse_w)
         from percivaltts_tpu.cli import cmd_generate, cmd_train
 
         class A:  # minimal argparse stand-in
@@ -167,7 +177,7 @@ if __name__ == "__main__":
         k, v = a.split("=")
         kw[k] = (
             v
-            if k == "root"
-            else (float(v) if k in ("jitter", "speaker_f0") else int(v))
+            if k in ("root", "arms")
+            else (float(v) if k in ("jitter", "speaker_f0", "lse_w") else int(v))
         )
     main(**kw)
