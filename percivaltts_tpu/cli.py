@@ -267,6 +267,7 @@ def cmd_export(args) -> int:
         out_stats,
         label_dim,
         cfg.data.bucket_bounds,
+        batch=args.batch,
     )
     outdir = args.out or os.path.join(cfg.workdir, "export")
     mpath = write_export(
@@ -275,6 +276,7 @@ def cmd_export(args) -> int:
         label_dim,
         int(out_stats.shift.shape[0]),
         dataclasses.asdict(cfg.vocoder),
+        batch=args.batch,
     )
     sizes = {b: len(d) for b, d in artifacts.items()}
     print_log(f"wrote {len(artifacts)} artifacts to {outdir} (bytes per bound: {sizes}); manifest {mpath}")
@@ -427,6 +429,11 @@ def main(argv=None) -> int:
     px.add_argument("--config", required=True)
     px.add_argument("--out", default=None, help="output dir (default <workdir>/export)")
     px.add_argument("--checkpoint", type=int, default=None)
+    px.add_argument(
+        "--batch", type=int, default=1,
+        help="rows per artifact call (1 = latency serving; >1 = throughput "
+        "serving — utterances are packed batch rows per call)",
+    )
     px.set_defaults(fn=cmd_export)
 
     pp = sub.add_parser("plot", help="plot training curves from metrics.jsonl")

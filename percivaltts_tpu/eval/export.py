@@ -41,18 +41,21 @@ def export_generator(
     out_stats: NormStats,
     label_dim: int,
     bounds: Sequence[int],
+    batch: int = 1,
 ) -> Dict[int, bytes]:
     """Serialize label→features inference at each bucket bound.
 
     Returns {bound: serialized bytes}. The function signature of each
-    artifact is ((1, bound, label_dim) f32 raw labels, () int32 n_frames)
-    → (1, bound, feat_dim) f32 denormalized features. ``n_frames`` masks
-    the pad tail to zero IN NORMALIZED SPACE inside the graph — the exact
-    padding convention training batches use (`data/dataset.py` pads
-    normalized features with zero rows); normalizing a zero-padded RAW
-    input instead would put (0 − shift)·scale ≠ 0 in the tail, which the
-    recurrent generators' backward scan reads (caught by
-    tests/test_export.py)."""
+    artifact is ((batch, bound, label_dim) f32 raw labels, n_frames) →
+    (batch, bound, feat_dim) f32 denormalized features, where ``n_frames``
+    is a () int32 for batch=1 (the latency-serving artifact, and the
+    round-3 on-disk format) or a (batch,) int32 row-length vector for
+    batch>1 (the throughput-serving artifact). ``n_frames`` masks the pad
+    tail to zero IN NORMALIZED SPACE inside the graph — the exact padding
+    convention training batches use (`data/dataset.py` pads normalized
+    features with zero rows); normalizing a zero-padded RAW input instead
+    would put (0 − shift)·scale ≠ 0 in the tail, which the recurrent
+    generators' backward scan reads (caught by tests/test_export.py)."""
     from jax import export as jexport
 
     i_shift = jnp.asarray(in_stats.shift, jnp.float32)
@@ -61,15 +64,17 @@ def export_generator(
     o_scale = jnp.asarray(out_stats.scale, jnp.float32)
 
     def infer(lab, n_frames):
-        valid = (jnp.arange(lab.shape[1]) < n_frames)[None, :, None]
+        nf = n_frames if n_frames.ndim else n_frames[None]  # (batch,)
+        valid = jnp.arange(lab.shape[1])[None, :, None] < nf[:, None, None]
         lab_n = (lab - i_shift) * i_scale * valid
         cmp_n = apply_fn(params, lab_n)
         return cmp_n.astype(jnp.float32) / o_scale + o_shift
 
     out = {}
     for bound in bounds:
-        spec = jax.ShapeDtypeStruct((1, int(bound), label_dim), jnp.float32)
-        nspec = jax.ShapeDtypeStruct((), jnp.int32)
+        spec = jax.ShapeDtypeStruct((batch, int(bound), label_dim), jnp.float32)
+        nshape = () if batch == 1 else (batch,)
+        nspec = jax.ShapeDtypeStruct(nshape, jnp.int32)
         out[int(bound)] = jexport.export(jax.jit(infer))(spec, nspec).serialize()
     return out
 
@@ -80,6 +85,7 @@ def write_export(
     label_dim: int,
     feat_dim: int,
     vocoder_dict: dict,
+    batch: int = 1,
 ) -> str:
     os.makedirs(outdir, exist_ok=True)
     for bound, data in artifacts.items():
@@ -92,6 +98,7 @@ def write_export(
         "label_dim": label_dim,
         "feat_dim": feat_dim,
         "bounds": sorted(artifacts),
+        "batch": batch,
         "vocoder": vocoder_dict,
     }
     mpath = os.path.join(outdir, "manifest.json")
@@ -131,17 +138,60 @@ class ExportedGenerator:
     def bounds(self):
         return sorted(self._fns)
 
-    def __call__(self, lab: np.ndarray) -> np.ndarray:
-        """(T, label_dim) raw label frames → (T, feat_dim) features."""
-        T = lab.shape[0]
+    @property
+    def batch(self) -> int:
+        """Rows per artifact call (1 = round-3 latency format)."""
+        return int(self.manifest.get("batch", 1))
+
+    def _bound_for(self, T: int) -> int:
         fit = [b for b in self.bounds if b >= T]
         if not fit:
             raise ValueError(
                 f"utterance has {T} frames; largest exported bound is "
                 f"{self.bounds[-1]} — re-export with a larger bucket bound"
             )
-        bound = fit[0]
-        padded = np.zeros((1, bound, lab.shape[1]), np.float32)
+        return fit[0]
+
+    def _call_rows(self, bound: int, padded: np.ndarray, lens) -> np.ndarray:
+        if self.batch == 1:
+            n = jnp.int32(int(lens[0]))
+        else:
+            n = jnp.asarray(np.asarray(lens, np.int32))
+        return np.asarray(self._fns[bound].call(jnp.asarray(padded), n))
+
+    def __call__(self, lab: np.ndarray) -> np.ndarray:
+        """(T, label_dim) raw label frames → (T, feat_dim) features."""
+        T = lab.shape[0]
+        bound = self._bound_for(T)
+        padded = np.zeros((self.batch, bound, lab.shape[1]), np.float32)
         padded[0, :T] = lab
-        out = self._fns[bound].call(jnp.asarray(padded), jnp.int32(T))
-        return np.asarray(out)[0, :T]
+        lens = np.zeros((self.batch,), np.int32)
+        lens[0] = T
+        return self._call_rows(bound, padded, lens)[0, :T]
+
+    def predict_batch(self, labs) -> list:
+        """Raw label matrices → feature matrices, grouped by bucket bound
+        and packed ``batch`` rows per artifact call (surplus rows in the
+        last group are zero-length padding). Output order matches input."""
+        order = sorted(range(len(labs)), key=lambda i: self._bound_for(labs[i].shape[0]))
+        out: list = [None] * len(labs)
+        i = 0
+        while i < len(order):
+            bound = self._bound_for(labs[order[i]].shape[0])
+            group = [
+                j
+                for j in order[i : i + self.batch]
+                if self._bound_for(labs[j].shape[0]) == bound
+            ]
+            padded = np.zeros(
+                (self.batch, bound, labs[group[0]].shape[1]), np.float32
+            )
+            lens = np.zeros((self.batch,), np.int32)
+            for r, j in enumerate(group):
+                padded[r, : labs[j].shape[0]] = labs[j]
+                lens[r] = labs[j].shape[0]
+            res = self._call_rows(bound, padded, lens)
+            for r, j in enumerate(group):
+                out[j] = res[r, : labs[j].shape[0]]
+            i += len(group)
+        return out

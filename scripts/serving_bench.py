@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Serving-inference benchmark of the exported StableHLO artifacts.
+
+Measures what a production deployment of `cli export` gets: per-utterance
+latency on the batch-1 artifact and frames/sec on a batch-N throughput
+artifact, at the headline model size (cnn_blstm hidden 256, L=425, F=99,
+bound 512). The artifacts are self-contained (normalization + params
+folded in), so this is the whole label→features serving path minus
+vocoder synthesis (whose realtime factor is benched separately — 108×
+realtime, BASELINE.md).
+
+Run (TPU): PYTHONPATH=.:$PYTHONPATH python scripts/serving_bench.py [batch]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+L, T = 425, 512
+
+
+def main(batch: int = 32):
+    import jax
+
+    from percivaltts_tpu.config import ModelConfig, VocoderConfig
+    from percivaltts_tpu.data.normalize import NormStats
+    from percivaltts_tpu.eval.export import (
+        ExportedGenerator,
+        export_generator,
+        write_export,
+    )
+    from percivaltts_tpu.models import build_generator
+
+    voc = VocoderConfig(spec_size=65, nm_size=33)
+    mcfg = ModelConfig(generator="cnn_blstm", hidden_size=256, blstm_size=256)
+    gen = build_generator(mcfg, voc, L)
+    params = gen.init(jax.random.key(0), jax.numpy.zeros((1, T, L), jax.numpy.float32))
+    rng = np.random.default_rng(0)
+    stats_in = NormStats(
+        shift=rng.normal(size=L).astype(np.float32),
+        scale=(1.0 + rng.uniform(size=L)).astype(np.float32),
+    )
+    F = voc.feature_size
+    stats_out = NormStats(
+        shift=rng.normal(size=F).astype(np.float32),
+        scale=(1.0 + rng.uniform(size=F)).astype(np.float32),
+    )
+
+    import tempfile
+
+    results = {}
+    for b in (1, batch):
+        d = tempfile.mkdtemp(prefix=f"serve_b{b}_")
+        write_export(
+            d,
+            export_generator(
+                gen.apply, params, stats_in, stats_out, L, (T,), batch=b
+            ),
+            L,
+            F,
+            {"kind": "pml"},
+            batch=b,
+        )
+        ex = ExportedGenerator(d)
+        labs = [
+            rng.normal(size=(int(n), L)).astype(np.float32)
+            for n in rng.integers(T // 2, T, size=4 * b)
+        ]
+        ex.predict_batch(labs[:b])  # compile
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            out = ex.predict_batch(labs)
+        dt = (time.perf_counter() - t0) / reps
+        frames = sum(l.shape[0] for l in labs)
+        calls = -(-len(labs) // b)
+        results[b] = (dt / calls * 1e3, frames / dt)
+        print(
+            f"batch={b:3d}: {dt/calls*1e3:7.2f} ms/call, "
+            f"{frames/dt/1e3:9.1f} k frames/s "
+            f"({frames/dt/(1000.0/voc.shift_ms):8.1f}x realtime)"
+        )
+    return results
+
+
+if __name__ == "__main__":
+    main(*(int(a) for a in sys.argv[1:]))

@@ -61,3 +61,48 @@ def test_export_roundtrip_exact(tmp_path, kind):
 
     with pytest.raises(ValueError):
         ex(np.zeros((65, 7), np.float32))
+
+
+@pytest.mark.parametrize("kind", ["fc", "cnn_blstm"])
+def test_export_batched_matches_single(tmp_path, kind):
+    """batch>1 throughput artifacts must reproduce the batch-1 path row by
+    row, including mixed lengths packed into one call and the zero-length
+    surplus rows of a final partial group."""
+    cfg = ModelConfig(
+        generator=kind,
+        hidden_size=16,
+        num_layers=1,
+        cnn_blocks=1,
+        blstm_size=8,
+        compute_dtype="float32",
+    )
+    gen = build_generator(cfg, VOC, 7)
+    rng = np.random.default_rng(1)
+    in_stats, out_stats = _stats(7), _stats(15)
+    params = gen.init(jax.random.key(0), jnp.zeros((1, 64, 7), jnp.float32))
+
+    d1 = str(tmp_path / "b1")
+    write_export(
+        d1,
+        export_generator(gen.apply, params, in_stats, out_stats, 7, (64,)),
+        7, 15, {"kind": "pml"},
+    )
+    d4 = str(tmp_path / "b4")
+    write_export(
+        d4,
+        export_generator(
+            gen.apply, params, in_stats, out_stats, 7, (64,), batch=4
+        ),
+        7, 15, {"kind": "pml"}, batch=4,
+    )
+
+    labs = [rng.normal(size=(n, 7)).astype(np.float32) for n in (50, 30, 64, 17, 41)]
+    ex1, ex4 = ExportedGenerator(d1), ExportedGenerator(d4)
+    assert ex4.batch == 4
+    want = [ex1(l) for l in labs]
+    got = ex4.predict_batch(labs)
+    for w, g, l in zip(want, got, labs):
+        assert g.shape == (l.shape[0], 15)
+        np.testing.assert_allclose(g, w, atol=1e-5, err_msg=kind)
+    # single-utterance call on a batched artifact also works
+    np.testing.assert_allclose(ex4(labs[0]), want[0], atol=1e-5)
