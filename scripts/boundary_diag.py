@@ -21,7 +21,15 @@ jax.config.update("jax_platforms", "cpu")
 from percivaltts_tpu.config import VocoderConfig
 from percivaltts_tpu.data.demo import generate_demo_corpus
 from percivaltts_tpu.eval.measures import per_frame_mcd_np
+from percivaltts_tpu.ops import aperiodicity as _ap
 from percivaltts_tpu.vocoders import get_vocoder
+
+# estimator experiment knobs (module constants are baked in at trace time —
+# one configuration per process, like scripts/cl_gate_sweep.py)
+if os.environ.get("PSYNC"):
+    _ap.PSYNC = os.environ["PSYNC"] not in ("0", "")
+if os.environ.get("PS_PERIODS"):
+    _ap.PS_PERIODS = int(os.environ["PS_PERIODS"])
 
 
 def boundary_distance(vuv: np.ndarray) -> np.ndarray:

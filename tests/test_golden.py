@@ -15,6 +15,9 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "pml_features.npz")
 GOLDEN_CT = os.path.join(
     os.path.dirname(__file__), "golden", "pml_features_cheaptrick.npz"
 )
+GOLDEN_H = os.path.join(
+    os.path.dirname(__file__), "golden", "pml_features_harmonic.npz"
+)
 
 
 def _check(golden_path, envelope):
@@ -38,4 +41,14 @@ def test_pml_features_match_golden_te():
 
 
 def test_pml_features_match_golden_cheaptrick():
+    # regenerated round-3 session 7: the nm stream moved when the
+    # aperiodicity reader's default became the pitch-synchronous exact-bin
+    # estimator (ops.aperiodicity.PSYNC=True, PS_PERIODS=4 — see the
+    # attribution record there); the envelope path is unchanged
     _check(GOLDEN_CT, "cheaptrick")
+
+
+def test_pml_features_match_golden_harmonic():
+    # pins the production DEFAULT analysis path (harmonic envelope +
+    # psync-4 aperiodicity), added round-3 session 7
+    _check(GOLDEN_H, "harmonic")
