@@ -107,8 +107,11 @@ VALLEY_8T0 = False
 # 2.35→2.27%; WORLD 0.70→0.98 / 0.72→0.76%) — net flat, and the held-out
 # seed improves on BOTH axes, so this is not tuned-seed overfitting.
 # DEFAULT since session 7: PSYNC=True, PS_PERIODS=4 (the 4·T0 lerp reader
-# remains under PSYNC=False; the closed-loop gate constants were tuned
-# for the old reader — re-sweeping them under this one is open headroom).
+# remains under PSYNC=False). The closed-loop gate constants were
+# re-swept under this reader (CL_FA 1.0/1.1/1.2, CL_NA 0.35/0.65,
+# CL_BR 3/5, scripts/cl_gate_sweep.py): every move is a wash or a
+# held-out flip regression (BR=3 improves both tuned seeds but flips
+# seed-42 1.55→1.79%) — the validated plateau holds for both readers.
 # At 4 periods only the ±2-bin midpoint nulls are outside both neighbors'
 # kernels (2 draws per harmonic, like production) — the win is exactness,
 # not draw count.
