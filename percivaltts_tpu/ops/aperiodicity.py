@@ -114,7 +114,12 @@ VALLEY_8T0 = False
 # seed-42 1.55→1.79%) — the validated plateau holds for both readers.
 # At 4 periods only the ±2-bin midpoint nulls are outside both neighbors'
 # kernels (2 draws per harmonic, like production) — the win is exactness,
-# not draw count.
+# not draw count. The support/draws tradeoff was swept: PS_PERIODS=5
+# (4 draws, ±2.5·T0) looks better on seed 1234 (flips 1.56→1.21%) but
+# regresses everywhere else (777 flips 1.61→2.55%, 42 1.55→1.79%, hard
+# 2.27→2.76%); PS_PERIODS=6 is worse on all axes (mean 4.72, steady
+# 2.82). 4 dominates — support damage grows faster than √draws variance
+# reduction.
 PSYNC = True
 PS_N = 2048
 PS_PERIODS = 4
