@@ -224,7 +224,9 @@ def cmd_synth(args) -> int:
         )
         for p in paths
     ]
-    preds_n = predict_batch(state.gen.apply_fn, state.gen.params, labs_n)
+    from percivaltts_tpu.training.state import eval_params
+
+    preds_n = predict_batch(state.gen.apply_fn, eval_params(state), labs_n)
     preds = [out_stats.denormalize(p).astype(np.float32) for p in preds_n]
     wavs = voc.synthesize_batch(preds)
     for p, wav in zip(paths, wavs):
@@ -247,7 +249,7 @@ def cmd_export(args) -> int:
     from percivaltts_tpu.data.normalize import NormStats
     from percivaltts_tpu.eval.export import export_generator, write_export
     from percivaltts_tpu.training.checkpoints import CheckpointManager
-    from percivaltts_tpu.training.state import abstract_gan_state
+    from percivaltts_tpu.training.state import abstract_gan_state, eval_params
 
     cfg = _load_config(args.config)
     in_stats = NormStats.load(os.path.join(cfg.workdir, "in_stats.npz"))
@@ -262,7 +264,7 @@ def cmd_export(args) -> int:
 
     artifacts = export_generator(
         state.gen.apply_fn,
-        state.gen.params,
+        eval_params(state),  # the EMA copy when the run carries one
         in_stats,
         out_stats,
         label_dim,

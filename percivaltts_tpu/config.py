@@ -185,6 +185,15 @@ class TrainConfig:
     n_critic: int = 5
     gp_lambda: float = 10.0
     lse_weight: float = 0.25  # LSE mixing weight in the generator loss
+    # exponential moving average of the GENERATOR weights (0 = off).
+    # Standard production-GAN practice (absent in the reference): after
+    # each generator update, ema ← d·ema + (1−d)·params, carried in the
+    # training state/checkpoints; when enabled, generation, objective-
+    # measure validation and serving export all read the EMA weights
+    # (training/state.py eval_params). NOTE: enabling/disabling changes
+    # the checkpoint pytree — old checkpoints restore only under the
+    # setting they were written with.
+    ema_decay: float = 0.0
     # optional per-stream LSE weights by vocoder stream name, e.g.
     # {"f0": 10.0, "spec": 1.0, "nm": 1.0} — the reference balances its
     # feature streams in the regression loss; empty = uniform

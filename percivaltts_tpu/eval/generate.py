@@ -53,7 +53,9 @@ def generate(
         raise ValueError("generate(): the requested split has no utterances")
 
     # batched predict, then denormalize on host
-    preds_n = predict_batch(state.gen.apply_fn, state.gen.params, dataset.labs)
+    from percivaltts_tpu.training.state import eval_params
+
+    preds_n = predict_batch(state.gen.apply_fn, eval_params(state), dataset.labs)
     preds, refs, ns = [], [], []
     for i in range(len(dataset.ids)):
         pred = out_stats.denormalize(preds_n[i]).astype(np.float32)

@@ -222,7 +222,11 @@ class Trainer:
         else:
             import functools
 
-            base = _maybe_norm(functools.partial(lse_step, dim_weights=dim_w))
+            base = _maybe_norm(
+                functools.partial(
+                    lse_step, dim_weights=dim_w, ema_decay=cfg.train.ema_decay
+                )
+            )
             if self.dcorpus is not None:
                 from percivaltts_tpu.data.device_corpus import make_device_lse_step
 

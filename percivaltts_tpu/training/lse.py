@@ -20,10 +20,14 @@ from percivaltts_tpu.training.state import GANState
 
 
 def lse_step(
-    state: GANState, batch: Dict[str, jax.Array], dim_weights=None
+    state: GANState,
+    batch: Dict[str, jax.Array],
+    dim_weights=None,
+    ema_decay: float = 0.0,
 ) -> Tuple[GANState, Dict[str, jax.Array]]:
     """One masked-MSE generator update (``dim_weights``: per-dimension loss
-    weights from TrainConfig.stream_weights)."""
+    weights from TrainConfig.stream_weights; ``ema_decay`` > 0 also advances
+    the generator-EMA copy, TrainConfig.ema_decay)."""
     lab, cmp, mask = batch["lab"], batch["cmp"], batch["mask"]
 
     def loss_fn(params):
@@ -36,7 +40,14 @@ def lse_step(
         "loss": loss,
         "grad_norm": optax.global_norm(grads),
     }
-    return state.replace(gen=gen), metrics
+    new_state = state.replace(gen=gen)
+    if ema_decay > 0.0 and state.ema is not None:
+        from percivaltts_tpu.training.state import ema_update
+
+        new_state = new_state.replace(
+            ema=ema_update(state.ema, gen.params, ema_decay)
+        )
+    return new_state, metrics
 
 
 def lse_eval_step(state: GANState, batch: Dict[str, jax.Array]) -> jax.Array:

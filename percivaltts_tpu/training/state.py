@@ -34,10 +34,28 @@ class GANState:
     critic: Optional[TrainState]
     key: jax.Array
     epoch: jax.Array  # int32 scalar
+    # EMA of the generator params (TrainConfig.ema_decay > 0), else None.
+    # Part of the pytree so Orbax checkpoints/restores it with everything
+    # else and the EMA update runs inside the fused jitted step.
+    ema: Optional[dict] = None
 
     @property
     def step(self):
         return self.gen.step
+
+
+def ema_update(ema, params, decay: float):
+    """ema ← decay·ema + (1−decay)·params, leafwise (f32 master copies)."""
+    return jax.tree.map(
+        lambda e, p: decay * e + (1.0 - decay) * p.astype(e.dtype), ema, params
+    )
+
+
+def eval_params(state: GANState):
+    """Generator params every quality-facing consumer should use:
+    the EMA copy when the run carries one, else the live params.
+    Used by generation, objective-measure validation, and serving export."""
+    return state.ema if state.ema is not None else state.gen.params
 
 
 def _adam(lr: float, b1: float, b2: float) -> optax.GradientTransformation:
@@ -76,8 +94,20 @@ def make_gan_state(
             tx=_adam(cfg.train.lr_critic, cfg.train.adam_b1, cfg.train.adam_b2),
         )
 
+    ema = (
+        # copy=True: astype to the same dtype is a no-op that would ALIAS
+        # the param buffers — the jitted step donates the state, and a
+        # buffer appearing twice in one donated pytree is an XLA error
+        jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True), gen_params)
+        if cfg.train.ema_decay > 0.0
+        else None
+    )
     return GANState(
-        gen=gen_ts, critic=critic_ts, key=krest, epoch=jnp.asarray(0, jnp.int32)
+        gen=gen_ts,
+        critic=critic_ts,
+        key=krest,
+        epoch=jnp.asarray(0, jnp.int32),
+        ema=ema,
     )
 
 

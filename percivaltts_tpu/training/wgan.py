@@ -128,6 +128,12 @@ def make_wgan_step(
             "gp": gp_sum / n_critic,
         }
         new_state = state.replace(gen=gen_ts, critic=critic_ts, key=key)
+        if cfg.ema_decay > 0.0 and state.ema is not None:
+            from percivaltts_tpu.training.state import ema_update
+
+            new_state = new_state.replace(
+                ema=ema_update(state.ema, gen_ts.params, cfg.ema_decay)
+            )
         return new_state, metrics
 
     return step

@@ -78,6 +78,7 @@ def main(
             best_metric="mcd",
             patience=10**6,
             device_corpus=True,
+            ema_decay=float(os.environ.get("EMA_DECAY", "0")),
             seed=321,
         ),
     )

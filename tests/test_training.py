@@ -278,3 +278,63 @@ def test_checkpoint_retention_keeps_latest_and_best(tmp_path):
     assert mgr.best_step() == 1
     assert set(mgr._mgr.all_steps()) == {1, 2, 4, 5, 6, 7}
     mgr.close()
+
+
+def test_ema_generator_weights(tmp_path):
+    """ema_decay > 0: the state carries an EMA copy that follows the exact
+    recursion ema <- d*ema + (1-d)*params through BOTH trainer steps, the
+    Trainer checkpoints/restores it, and eval_params prefers it."""
+    from percivaltts_tpu.training.state import eval_params
+
+    d = 0.9
+    cfg = _cfg(trainer="lse", ema_decay=d)
+    state = make_gan_state(cfg, LDIM)
+    assert state.ema is not None
+    ref = jax.tree.map(lambda p: np.asarray(p, np.float32), state.gen.params)
+    ds = _toy_ds()
+    batch = _batch_of(ds, cfg)
+    for _ in range(3):
+        state, _ = lse_step(state, batch, ema_decay=d)
+        ref = jax.tree.map(
+            lambda e, p: d * e + (1 - d) * np.asarray(p, np.float32),
+            ref, state.gen.params,
+        )
+    for got, want in zip(jax.tree.leaves(state.ema), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+    # EMA != live params after updates, and eval_params returns the EMA
+    assert any(
+        not np.allclose(np.asarray(e), np.asarray(p))
+        for e, p in zip(jax.tree.leaves(state.ema), jax.tree.leaves(state.gen.params))
+    )
+    assert eval_params(state) is state.ema
+
+    # WGAN step advances it too
+    cfgw = _cfg(trainer="wgan", ema_decay=d)
+    sw = make_gan_state(cfgw, LDIM)
+    step = make_wgan_step(cfgw.train)
+    cb = {k: np.stack([v] * cfgw.train.n_critic) for k, v in batch.items()}
+    ema0 = jax.tree.leaves(sw.ema)[0].copy()
+    sw, _ = jax.jit(step)(sw, cb, batch)
+    assert not np.allclose(np.asarray(jax.tree.leaves(sw.ema)[0]), np.asarray(ema0))
+
+    # ema_decay=0 leaves no EMA and eval_params falls back to live params
+    s0 = make_gan_state(_cfg(trainer="lse"), LDIM)
+    assert s0.ema is None and eval_params(s0) is s0.gen.params
+
+
+def test_ema_checkpoint_roundtrip(tmp_path):
+    """The EMA copy survives a Trainer run + checkpoint restore."""
+    cfg = _cfg(trainer="lse", workdir=str(tmp_path / "exp"), ema_decay=0.8,
+               epochs=2, checkpoint_every=1)
+    tr = Trainer(cfg, _toy_ds(), _toy_ds(6, seed=1))
+    tr.train(epochs=2)
+    from percivaltts_tpu.training.checkpoints import CheckpointManager
+    from percivaltts_tpu.training.state import abstract_gan_state
+
+    target = abstract_gan_state(cfg, LDIM)
+    assert target.ema is not None  # abstract target carries the EMA slot
+    ckpt = CheckpointManager(os.path.join(cfg.workdir, "checkpoints"))
+    restored = ckpt.restore(target, ckpt.latest_step())
+    for got, want in zip(jax.tree.leaves(restored.ema), jax.tree.leaves(tr.state.ema)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    tr.close()
