@@ -31,6 +31,7 @@ def build_cfg(
     epochs: int,
     hidden: int = 128,
     lse_w: float = 0.25,
+    ema: float = 0.0,
 ) -> Configuration:
     # The round-2 soak recipe (converged to test MCD 8.75 in 2000 WGAN outer
     # steps): spec 33 / nm 17, critic_hidden 128, 3 CNN blocks. At spec 65 /
@@ -76,6 +77,7 @@ def build_cfg(
             patience=10**6,  # fixed-budget study: no early stopping
             device_corpus=True,
             seed=123,  # SAME init/data order for both runs
+            ema_decay=ema,
         ),
     )
 
@@ -90,6 +92,7 @@ def main(
     speaker_f0: float = 0.0,
     lse_w: float = 0.25,
     arms: str = "lse,wgan",
+    ema: float = 0.0,
 ):
     from percivaltts_tpu.data.demo import generate_demo_corpus
 
@@ -110,7 +113,7 @@ def main(
 
     results = {}
     for trainer in arms.split(","):
-        cfg = build_cfg(root, trainer, epochs, hidden=hidden, lse_w=lse_w)
+        cfg = build_cfg(root, trainer, epochs, hidden=hidden, lse_w=lse_w, ema=ema)
         from percivaltts_tpu.cli import cmd_generate, cmd_train
 
         class A:  # minimal argparse stand-in
@@ -178,6 +181,6 @@ if __name__ == "__main__":
         kw[k] = (
             v
             if k in ("root", "arms")
-            else (float(v) if k in ("jitter", "speaker_f0", "lse_w") else int(v))
+            else (float(v) if k in ("jitter", "speaker_f0", "lse_w", "ema") else int(v))
         )
     main(**kw)
