@@ -124,8 +124,29 @@ PSYNC = True
 PS_N = 2048
 PS_PERIODS = 4
 
+# Boundary-side reflection (sub-frame/pitch-event-aligned analysis
+# prototype, round-3): read positions that would cross the nearest voicing
+# transition are reflected back into the frame's own voicing region, so
+# the window at a dist-0 frame reads ONLY same-side content. Both analyses
+# of the copy-synthesis loop apply it (each from its own YIN vuv), so the
+# boundary frames' harmonic/noise mixture becomes consistent between them
+# — the dist-0 error mode the round-3 error budget identified (both
+# analyses straddle the transition and read different mixtures of the
+# same instant). The transition position is frame-granular (the midpoint
+# between the two frame centers); a single reflection per side + clamp.
+#
+# MEASURED (round-3 session 8, scripts/boundary_diag.py): a WASH on the
+# tuned seed (mean 4.39→4.38, flips 1.56→1.53%) and a slight held-out
+# regression (seed 42: 4.27→4.33, flips 1.55→1.59%). The mechanism works
+# as designed — near-boundary voiced low/mid band errors drop (g0
+# 0.217→0.184, g3 0.147→0.116 nats) — but the fold's phase discontinuity
+# leaks into the high harmonics (g6 0.195→0.215, g7 0.196→0.205) and
+# cancels the gain. Kept False; a retry in this estimator class should
+# pitch-event-align the window START rather than folding its tail.
+PS_REFLECT = False
 
-def _psync_peaks_valleys(wav, f0c, fs, hop, nf, K):
+
+def _psync_peaks_valleys(wav, f0c, fs, hop, nf, K, vuv=None):
     """Pitch-synchronous exact-bin (peak, valley), (nf, K) each, in the
     4·T0 path's conventions (peak: such that a² = peak·ENV_PK·f0/fs;
     valley: white noise of per-sample variance σ² reads σ²)."""
@@ -133,6 +154,22 @@ def _psync_peaks_valleys(wav, f0c, fs, hop, nf, K):
     centers = jnp.arange(nf, dtype=jnp.float32) * hop
     rel = (jnp.arange(PS_N, dtype=jnp.float32) - PS_N / 2) / PS_N  # (N,)
     idx = centers[:, None] + rel[None, :] * span[:, None]
+    if PS_REFLECT and vuv is not None and nf > 1:
+        v = (vuv[:nf] > 0.5).astype(jnp.float32)
+        flips = v[1:] != v[:-1]  # (nf-1,) flip between frames i and i+1
+        far = jnp.full((1,), 1e9, jnp.float32)
+        b = (jnp.arange(nf - 1, dtype=jnp.float32) + 0.5) * hop
+        # nearest flip boundary strictly left/right of each frame's center
+        left = jnp.concatenate(
+            [-far, jax.lax.cummax(jnp.where(flips, b, -1e9))]
+        )[:, None]
+        right = jnp.concatenate(
+            [jax.lax.cummin(jnp.where(flips, b, 1e9), reverse=True), far]
+        )[:, None]
+        idx = jnp.where(idx > right, 2.0 * right - idx, idx)
+        idx = jnp.where(idx < left, 2.0 * left - idx, idx)
+        # degenerate 1-frame regions can still escape after one fold
+        idx = jnp.clip(idx, left, right)
     idx = jnp.clip(idx, 0.0, wav.shape[0] - 1.001)
     i0 = jnp.floor(idx).astype(jnp.int32)
     frac = (idx - i0).astype(wav.dtype)
@@ -217,7 +254,7 @@ def _peaks_valleys(wav, f0, fs, hop, f0_floor, time_smooth=0, vuv=None):
         nf = _num_frames(wav.shape[0], Lnm, hop)
         K = int(fs / 2.0 / f0_floor)
         k = jnp.arange(1, K + 1, dtype=jnp.float32)
-        peak, valley = _psync_peaks_valleys(wav, f0c, fs, hop, nf, K)
+        peak, valley = _psync_peaks_valleys(wav, f0c, fs, hop, nf, K, vuv=vuv)
         if time_smooth:
             # smooth the per-harmonic tracks (f0-drift-proof), not the raw
             # spectrum — the psync grid realigns harmonics frame by frame
@@ -308,7 +345,7 @@ def harmonic_noise_mask(
     smoothing in per-harmonic space (f0-drift-proof, unlike smoothing the
     raw spectrum) cuts both. The smoothing is per-HARMONIC, matching
     ops.aperiodicity.harmonic_envelope's valley_sm."""
-    peak, valley, k, f0c = _peaks_valleys(wav, f0, fs, hop, f0_floor)
+    peak, valley, k, f0c = _peaks_valleys(wav, f0, fs, hop, f0_floor, vuv=vuv)
     if valley_smooth:
         from percivaltts_tpu.ops.cheaptrick import _time_smooth
 

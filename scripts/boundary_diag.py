@@ -30,6 +30,8 @@ if os.environ.get("PSYNC"):
     _ap.PSYNC = os.environ["PSYNC"] not in ("0", "")
 if os.environ.get("PS_PERIODS"):
     _ap.PS_PERIODS = int(os.environ["PS_PERIODS"])
+if os.environ.get("PS_REFLECT"):
+    _ap.PS_REFLECT = os.environ["PS_REFLECT"] not in ("0", "")
 
 
 def boundary_distance(vuv: np.ndarray) -> np.ndarray:

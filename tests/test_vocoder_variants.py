@@ -284,3 +284,58 @@ def test_psync_reader_conventions():
         kmax = int(FS / 2 / f0) - 2
         mean = float(np.asarray(vn)[6:-6, 1:kmax].mean())
         assert 0.9 < mean < 1.12, (f0, mean)
+
+
+def test_ps_reflect_conventions():
+    """Boundary-side reflection (ops.aperiodicity.PS_REFLECT — measured a
+    wash on tuned seeds and a slight held-out regression, kept False; see
+    the module comment) pins its contract: a no-op when the vuv track has
+    no flips, and with a flip it perturbs ONLY frames whose 4-period span
+    reaches the transition, leaving far frames bit-identical."""
+    import jax.numpy as jnp
+
+    from percivaltts_tpu.ops import aperiodicity as ap
+
+    rng = np.random.default_rng(1)
+    f0 = 140.0
+    t = np.arange(FS, dtype=np.float32) / FS
+    sig = (
+        0.3 * np.cos(2 * np.pi * f0 * t)
+        + 0.1 * np.cos(2 * np.pi * 3 * f0 * t + 0.7)
+        + 0.05 * rng.normal(size=len(t)).astype(np.float32)
+    ).astype(np.float32)
+    nf = len(t) // HOP
+    track = jnp.full((nf,), f0, jnp.float32)
+    old = ap.PS_REFLECT
+    try:
+        ap.PS_REFLECT = True
+        # constant vuv: no flips -> exact no-op vs the unreflected reader
+        p_ref, v_ref = ap._psync_peaks_valleys(
+            jnp.asarray(sig), track, FS, HOP, nf, 20, vuv=jnp.ones((nf,))
+        )
+        ap.PS_REFLECT = False
+        p0, v0 = ap._psync_peaks_valleys(
+            jnp.asarray(sig), track, FS, HOP, nf, 20
+        )
+        np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p0))
+        np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v0))
+        # one flip mid-signal: frames >4 periods away are untouched, the
+        # perturbed frames stay finite
+        ap.PS_REFLECT = True
+        vuv = jnp.asarray(np.r_[np.ones(nf // 2), np.zeros(nf - nf // 2)])
+        p1, v1 = ap._psync_peaks_valleys(
+            jnp.asarray(sig), track, FS, HOP, nf, 20, vuv=vuv
+        )
+        span_frames = int(np.ceil(ap.PS_PERIODS * FS / f0 / 2 / HOP)) + 1
+        far = np.r_[
+            np.arange(0, nf // 2 - span_frames),
+            np.arange(nf // 2 + span_frames, nf),
+        ]
+        np.testing.assert_array_equal(np.asarray(p1)[far], np.asarray(p0)[far])
+        np.testing.assert_array_equal(np.asarray(v1)[far], np.asarray(v0)[far])
+        assert np.isfinite(np.asarray(p1)).all()
+        assert np.isfinite(np.asarray(v1)).all()
+        near = np.arange(max(nf // 2 - 2, 0), min(nf // 2 + 2, nf))
+        assert not np.array_equal(np.asarray(p1)[near], np.asarray(p0)[near])
+    finally:
+        ap.PS_REFLECT = old
