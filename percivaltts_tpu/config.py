@@ -19,6 +19,93 @@ from typing import Any, Dict, Optional, Tuple
 
 
 @dataclass(frozen=True)
+class AnalysisParams:
+    """Feature-DEFINING DSP estimator and rendering conventions of the
+    PML/WORLD analysis–synthesis chain.
+
+    Every field here changes what the analyzer writes into the features (or
+    how the renderer inverts them), so this tree is part of the experiment's
+    reproducibility record — the property the reference covers by snapshotting
+    its whole code tree (``percivaltts/clone.sh``, SURVEY.md §5 "Config/flag
+    system" — file-level cite, mount empty):
+
+    * ``compose()`` keys its feature cache on it (flipping any knob
+      invalidates cached features instead of silently serving stale ones),
+    * ``Configuration.dump`` round-trips it into the workdir ``config.json``,
+    * serving-export artifacts record the analysis convention that produced
+      their training features,
+    * diagnostic scripts (``scripts/boundary_diag.py`` …) construct instances
+      instead of mutating module globals.
+
+    Defaults are the measured round-3 plateau; each default's sweep
+    provenance is recorded in BASELINE.md (the measurement ledger) and in
+    the inline comments at the point of use (ops/aperiodicity.py,
+    vocoders/pml.py). Calibration constants that are pinned by oracle tests
+    rather than swept (NM_RHO, ENV_PK, CAL, NOISE_CAL, PS_NOISE_CAL) stay
+    module-level — they are physics, not conventions.
+    """
+
+    # --- peak/valley reader (ops/aperiodicity.py) ---
+    # pitch-synchronous exact-bin reader (True) vs the 4·T0 lerp reader
+    psync: bool = True
+    # periods per resampled analysis frame; 4 = support-matched to the
+    # production 4·T0 window (5/6/8 measured worse — see aperiodicity.py)
+    ps_periods: int = 4
+    # boundary-side reflection of read positions (measured a wash on the
+    # tuned seed, slight held-out regression — kept off; requires vuv)
+    ps_reflect: bool = False
+    # boundary-side window SHIFT (the pulse-aligned sub-frame estimator
+    # class the PS_REFLECT post-mortem called for): windows that would
+    # cross the nearest voicing transition slide — as a whole, no fold —
+    # back inside the frame's own voicing region, so dist-0 frames read
+    # contiguous same-side content with no phase discontinuity; requires
+    # vuv (see ops/aperiodicity.py)
+    ps_shift: bool = False
+    # with ps_shift: snap the slide to whole pitch periods (window start
+    # anchored at pitch-event-aligned positions); costs up to +T0 of
+    # temporal displacement per frame
+    ps_shift_snap: bool = False
+    # with ps_shift: shift ONLY the noise-mask reading, leaving the
+    # harmonic-envelope reading frame-centered — decouples the voicing
+    # consistency the shift buys from the edge amplitude RAMP the rendered
+    # gate needs for sub-frame edge placement (the full shift flattens
+    # that ramp and moves rendered edges ~1 frame outward — see
+    # ops/aperiodicity.py's measured history)
+    ps_shift_nm_only: bool = False
+    # valley-track smoothing radius for the noise-mask estimator (frames);
+    # radius 3 measured worse (analysis-pair desynchronization, pml.py)
+    nm_valley_smooth: int = 0
+
+    # --- rendered attack/release gate (vocoders/pml.py synthesis) ---
+    # window-power-fraction at which the rendered attack/release switches on
+    gate_theta: float = 0.56
+    # minimum voiced-to-unvoiced low-band gap (nats) for w-based placement
+    gate_min_gap: float = 1.5
+    # frames within this distance of a voicing edge use w-based placement
+    gate_edge_radius: int = 6
+    # voiced-run edge frames backfilled from the nearest interior frame
+    edge_backfill: int = 2
+
+    # --- closed-loop correction profile (vocoders/pml.py) ---
+    cl_boundary_radius: int = 4
+    cl_clamp: float = 1.5
+    cl_near_alpha: float = 0.5
+    cl_near_alpha_hi: float = 0.5
+    cl_near_clamp: float = 1.2
+    cl_full_alpha: float = 1.1
+    cl_it2_freeze_frac: float = 0.33
+    cl_nm_alpha: float = 0.0
+    cl_nm_clamp: float = 0.3
+
+    # --- THE voicing rule (see vocoders/pml.py) ---
+    # a frame is voiced iff mean(lowest vuv_low_frac of nm bands) < threshold;
+    # shared by analysis, the closed loop, the rendered gate and f0_vuv —
+    # change here only or they desynchronize and boundary flips return
+    vuv_low_frac: float = 0.25
+    vuv_threshold: float = 0.75
+
+
+@dataclass(frozen=True)
 class VocoderConfig:
     """Vocoder feature schema (reference: percivaltts/vocoders.py).
 
@@ -53,13 +140,16 @@ class VocoderConfig:
     # across consecutive roundtrips), so one pre-compensation pass cancels
     # it: steady-state copy-synthesis 5.6 → 3.2 dB MCD measured. Iterations
     # beyond the first correct interior frames only, under a tighter clamp
-    # and with the voicing-deciding low bands frozen (pml.CL_IT2_FREEZE_FRAC)
+    # and with the voicing-deciding low bands frozen (analysis.cl_it2_freeze_frac)
     # — 12-utt diag, seeds 1234/777: mean 4.49/4.85 → 4.39/4.74, steady
     # 2.93→2.76, flips 1.37→1.37% / 1.49→1.53%. 0 = open loop (one render,
     # (iters+2)× cheaper)
     closed_loop: int = 2
     # mel-spectrogram variant (BASELINE config 4)
     mel_size: int = 80
+    # feature-defining DSP estimator/rendering conventions (see
+    # AnalysisParams) — part of the feature cache key and the workdir dump
+    analysis: AnalysisParams = field(default_factory=AnalysisParams)
 
     @property
     def shift_samples(self) -> int:
@@ -137,6 +227,20 @@ class ModelConfig:
     generator: str = "cnn"  # "fc" | "blstm" | "bgru" | "cnn" | "cnn_blstm"
     hidden_size: int = 256
     num_layers: int = 3
+    # Generator regularization (the Keras-era reference's model builders
+    # carry dropout/normalization options — models_basic.py / models_cnn.py,
+    # file-level cite, mount empty). dropout_rate > 0 enables nn.Dropout in
+    # training mode only (eval/generation/export stay deterministic; the
+    # fused train steps thread a per-step fold of the state RNG).
+    dropout_rate: float = 0.0
+    # "layer" inserts stateless LayerNorm after the dense trunk layers —
+    # the TPU-idiomatic stand-in for Keras BatchNorm: running batch
+    # statistics are mutable collections that don't fit the pure
+    # state→state fused-step design, and per-device batch stats would
+    # diverge under data parallelism; LayerNorm regularizes activations
+    # with none of that state. "none" (default) = reference-faithful bare
+    # stacks.
+    gen_norm: str = "none"
     # CNN generator
     # conv_style "time1d": MXU-aligned 1-D convs over time at `hidden_size`
     # channels with full-frequency mixing through dense projections (TPU
@@ -206,8 +310,18 @@ class TrainConfig:
     measures_every: int = 0
     # metric driving best-checkpoint selection and early stopping:
     # "valid" = frame-weighted masked validation MSE; "mcd" = the MCD from
-    # the objective-measure validation (requires measures_every > 0)
+    # the objective-measure validation (requires measures_every > 0);
+    # "mcd_gv" = MCD + best_gv_weight·|ln GV-ratio| (same requirement) —
+    # for WGAN arms, where a pure-MCD rule anti-selects the objective: a
+    # mean-seeking metric picks the critic's most over-smoothed checkpoint
+    # (VERDICT round-3 weak #6), so the composite penalizes dispersion
+    # departing from natural in either direction
     best_metric: str = "valid"
+    # |ln GV| weight of the "mcd_gv" composite, in dB per nat: 10 charges a
+    # full LSE-style GV collapse (ratio 0.65 → |ln| 0.43) ~4.3 dB — the
+    # order of the MCD spread between checkpoints — while a healthy
+    # 0.9–1.15 band costs < 1.4 dB
+    best_gv_weight: float = 10.0
     # early stopping
     patience: int = 20
     # checkpointing
@@ -267,6 +381,19 @@ class Configuration:
             sub = dict(d.get(key, {}))
             if key == "data" and "bucket_bounds" in sub:
                 sub["bucket_bounds"] = tuple(sub["bucket_bounds"])
+            if key == "vocoder" and isinstance(sub.get("analysis"), dict):
+                ap = dict(sub["analysis"])
+                ap_known = {f.name for f in dataclasses.fields(AnalysisParams)}
+                ap_unknown = set(ap) - ap_known
+                if ap_unknown:
+                    import warnings
+
+                    warnings.warn(
+                        "config section 'vocoder.analysis': ignoring unknown "
+                        f"fields {sorted(ap_unknown)}"
+                    )
+                    ap = {k: v for k, v in ap.items() if k in ap_known}
+                sub["analysis"] = AnalysisParams(**ap)
             if key == "train" and "stream_weights" in sub:
                 sub["stream_weights"] = tuple(
                     (str(n), float(w)) for n, w in sub["stream_weights"]

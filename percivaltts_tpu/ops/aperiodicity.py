@@ -24,8 +24,14 @@ import math
 import jax
 import jax.numpy as jnp
 
+from percivaltts_tpu.config import AnalysisParams
 from percivaltts_tpu.ops.stft import frame_signal
 from percivaltts_tpu.ops.warp import _band_centers_hz
+
+# default estimator conventions; experiments pass their own
+# ``config.AnalysisParams`` (threaded from ``VocoderConfig.analysis``)
+# instead of mutating module globals — see that dataclass's docstring
+DEFAULT_ANALYSIS = AnalysisParams()
 
 # ratio of the harmonic mainlobe's integrated power to its peak value for
 # the 4·T0 Hann window, in units of the per-f0-interval noise integral
@@ -68,8 +74,10 @@ def erode5(x: jax.Array) -> jax.Array:
 # length), not lerp'd ones.
 VALLEY_8T0 = False
 
-# Pitch-SYNCHRONOUS peak/valley spectrum: resample PS_PERIODS periods of
-# signal to a fixed PS_N-sample frame (linear interp), so harmonic k lands
+# Pitch-SYNCHRONOUS peak/valley spectrum (AnalysisParams.psync /
+# .ps_periods — PS_PERIODS below refers to that field): resample
+# PS_PERIODS periods of signal to a fixed PS_N-sample frame (linear
+# interp), so harmonic k lands
 # EXACTLY on bin PS_PERIODS·k and every inter-harmonic bin at offsets
 # ±2..±6 is an exact null of both neighbors (full-length periodic Hann
 # mainlobe = ±2 bins): 10 leakage-free noise draws per harmonic instead of
@@ -120,11 +128,10 @@ VALLEY_8T0 = False
 # 2.27→2.76%); PS_PERIODS=6 is worse on all axes (mean 4.72, steady
 # 2.82). 4 dominates — support damage grows faster than √draws variance
 # reduction.
-PSYNC = True
 PS_N = 2048
-PS_PERIODS = 4
 
-# Boundary-side reflection (sub-frame/pitch-event-aligned analysis
+# Boundary-side reflection (AnalysisParams.ps_reflect — a
+# sub-frame/pitch-event-aligned analysis
 # prototype, round-3): read positions that would cross the nearest voicing
 # transition are reflected back into the frame's own voicing region, so
 # the window at a dist-0 frame reads ONLY same-side content. Both analyses
@@ -141,31 +148,82 @@ PS_PERIODS = 4
 # as designed — near-boundary voiced low/mid band errors drop (g0
 # 0.217→0.184, g3 0.147→0.116 nats) — but the fold's phase discontinuity
 # leaks into the high harmonics (g6 0.195→0.215, g7 0.196→0.205) and
-# cancels the gain. Kept False; a retry in this estimator class should
+# cancels the gain. Default False; a retry in this estimator class should
 # pitch-event-align the window START rather than folding its tail.
-PS_REFLECT = False
+# NOTE: the reflection requires ``vuv`` — enabling ps_reflect without
+# threading it raises at trace time (partial application would otherwise
+# be silent and undetectable during experiments).
 
 
-def _psync_peaks_valleys(wav, f0c, fs, hop, nf, K, vuv=None):
+def _psync_peaks_valleys(
+    wav, f0c, fs, hop, nf, K, vuv=None, ap: AnalysisParams = DEFAULT_ANALYSIS
+):
     """Pitch-synchronous exact-bin (peak, valley), (nf, K) each, in the
     4·T0 path's conventions (peak: such that a² = peak·ENV_PK·f0/fs;
     valley: white noise of per-sample variance σ² reads σ²)."""
+    PS_PERIODS = ap.ps_periods
     span = PS_PERIODS * fs / f0c  # (nf,) original samples per frame
     centers = jnp.arange(nf, dtype=jnp.float32) * hop
     rel = (jnp.arange(PS_N, dtype=jnp.float32) - PS_N / 2) / PS_N  # (N,)
     idx = centers[:, None] + rel[None, :] * span[:, None]
-    if PS_REFLECT and vuv is not None and nf > 1:
+    if (ap.ps_reflect or ap.ps_shift) and vuv is None:
+        raise ValueError(
+            "AnalysisParams.ps_reflect/ps_shift=True requires the vuv track "
+            "to be threaded into the peak/valley reader (got vuv=None)"
+        )
+    if (ap.ps_reflect or ap.ps_shift) and nf > 1:
         v = (vuv[:nf] > 0.5).astype(jnp.float32)
         flips = v[1:] != v[:-1]  # (nf-1,) flip between frames i and i+1
         far = jnp.full((1,), 1e9, jnp.float32)
-        b = (jnp.arange(nf - 1, dtype=jnp.float32) + 0.5) * hop
+        bnd = (jnp.arange(nf - 1, dtype=jnp.float32) + 0.5) * hop
         # nearest flip boundary strictly left/right of each frame's center
         left = jnp.concatenate(
-            [-far, jax.lax.cummax(jnp.where(flips, b, -1e9))]
+            [-far, jax.lax.cummax(jnp.where(flips, bnd, -1e9))]
         )[:, None]
         right = jnp.concatenate(
-            [jax.lax.cummin(jnp.where(flips, b, 1e9), reverse=True), far]
+            [jax.lax.cummin(jnp.where(flips, bnd, 1e9), reverse=True), far]
         )[:, None]
+    if ap.ps_shift and nf > 1:
+        # Pulse-aligned sub-frame estimator (the class the PS_REFLECT
+        # post-mortem called for): a window that would cross the nearest
+        # voicing transition SLIDES — as a whole, no fold — until it sits
+        # inside the frame's own voicing region. Dist-0 frames then read
+        # contiguous, same-side, phase-coherent content (the fold's failure
+        # was its time-reversed tail leaking into the high harmonics), and
+        # BOTH analyses of the closed loop place their windows by the same
+        # rule from their own vuv. The feature TIMELINE is unchanged — the
+        # frame still reports at i·hop. ps_shift_snap quantizes the slide
+        # to whole periods (window start pitch-event-aligned). Windows that
+        # cannot fit (voicing run shorter than the span) stay centered.
+        #
+        # MEASURED (round 4) — REJECTED, kept as the second rigorous probe
+        # of this estimator class (full record: BASELINE.md round-4 row).
+        # The intended effect is real — voiced-side non-flip frames improve
+        # at every boundary distance (777: dist-2 V 9.01→6.94, dist-4-5 V
+        # 4.38→3.76) — but the shifted analysis writes interior-like
+        # amplitudes into edge frames, flattening the edge amplitude RAMP
+        # the rendered gate's sub-frame placement reads: rendered U→V edges
+        # move ~1 frame outward, re-analysis voicing follows, vuv flips
+        # rise ~50-90% at ~55 dB/frame and the mean regresses on ALL seeds
+        # (4.28/4.45/4.18 → 5.18/5.47/5.07). gate_theta re-sweep, snap, and
+        # nm-only variants each measured and falsified as rescues. Lesson:
+        # near-edge readings decoupled from the frame-centered ramp break
+        # either the gate's edge placement or the analyses' voicing
+        # consistency — the dist-0 term is bounded by boundary-position
+        # estimation consistency, not window placement.
+        half = 0.5 * span[:, None]
+        over_r = jnp.maximum(centers[:, None] + half - right, 0.0)
+        over_l = jnp.maximum(left - (centers[:, None] - half), 0.0)
+        if ap.ps_shift_snap:
+            T0 = (fs / f0c)[:, None]
+            over_r = jnp.ceil(over_r / T0) * T0
+            over_l = jnp.ceil(over_l / T0) * T0
+        delta = over_l - over_r
+        new_c = centers[:, None] + delta
+        fits = (new_c - half >= left) & (new_c + half <= right)
+        delta = jnp.where(fits, delta, 0.0)
+        idx = idx + delta
+    elif ap.ps_reflect and nf > 1:
         idx = jnp.where(idx > right, 2.0 * right - idx, idx)
         idx = jnp.where(idx < left, 2.0 * left - idx, idx)
         # degenerate 1-frame regions can still escape after one fold
@@ -200,9 +258,9 @@ def _psync_peaks_valleys(wav, f0c, fs, hop, nf, K, vuv=None):
     # configuration, see the PSYNC comment)
     offs = tuple(range(-(PS_PERIODS - 2), -1)) + tuple(range(2, PS_PERIODS - 1))
     for o in offs:
-        b = jnp.clip(pk_bins_c + o, 1, PS_N // 2)
+        bins_o = jnp.clip(pk_bins_c + o, 1, PS_N // 2)
         fo = fk + o * f0c[:, None] / PS_PERIODS
-        acc = acc + P[:, b] * corr(jnp.abs(fo))
+        acc = acc + P[:, bins_o] * corr(jnp.abs(fo))
     vraw = acc / len(offs)  # noise bin-PSD in psync P units
     # → 4·T0 σ²-convention: upsampled noise concentrates its power in the
     # fs/rate_r fraction of the resampled band (rate_r = N·f0/PS_PERIODS),
@@ -234,7 +292,16 @@ def _psync_peaks_valleys(wav, f0c, fs, hop, nf, K, vuv=None):
 PS_NOISE_CAL = 1.0
 
 
-def _peaks_valleys(wav, f0, fs, hop, f0_floor, time_smooth=0, vuv=None):
+def _peaks_valleys(
+    wav,
+    f0,
+    fs,
+    hop,
+    f0_floor,
+    time_smooth=0,
+    vuv=None,
+    ap: AnalysisParams = DEFAULT_ANALYSIS,
+):
     """Shared 4·T0-window peak/valley measurement.
 
     Returns (peak, valley, k, f0c): per-harmonic power at k·f0 and the mean
@@ -248,13 +315,15 @@ def _peaks_valleys(wav, f0, fs, hop, f0_floor, time_smooth=0, vuv=None):
     fftnm = 1 << (Lnm - 1).bit_length()
     f0c = jnp.clip(f0, f0_floor, fs / 8.0)
 
-    if PSYNC:
+    if ap.psync:
         from percivaltts_tpu.ops.stft import num_frames as _num_frames
 
         nf = _num_frames(wav.shape[0], Lnm, hop)
         K = int(fs / 2.0 / f0_floor)
         k = jnp.arange(1, K + 1, dtype=jnp.float32)
-        peak, valley = _psync_peaks_valleys(wav, f0c, fs, hop, nf, K, vuv=vuv)
+        peak, valley = _psync_peaks_valleys(
+            wav, f0c, fs, hop, nf, K, vuv=vuv, ap=ap
+        )
         if time_smooth:
             # smooth the per-harmonic tracks (f0-drift-proof), not the raw
             # spectrum — the psync grid realigns harmonics frame by frame
@@ -332,6 +401,7 @@ def harmonic_noise_mask(
     f0_floor: float,
     valley_smooth: int = 0,
     vuv: jax.Array | None = None,
+    ap: AnalysisParams = DEFAULT_ANALYSIS,
 ) -> jax.Array:
     """Per-harmonic noise fraction mapped to warped bands, (frames, bands).
 
@@ -345,7 +415,9 @@ def harmonic_noise_mask(
     smoothing in per-harmonic space (f0-drift-proof, unlike smoothing the
     raw spectrum) cuts both. The smoothing is per-HARMONIC, matching
     ops.aperiodicity.harmonic_envelope's valley_sm."""
-    peak, valley, k, f0c = _peaks_valleys(wav, f0, fs, hop, f0_floor, vuv=vuv)
+    peak, valley, k, f0c = _peaks_valleys(
+        wav, f0, fs, hop, f0_floor, vuv=vuv, ap=ap
+    )
     if valley_smooth:
         from percivaltts_tpu.ops.cheaptrick import _time_smooth
 
@@ -381,6 +453,7 @@ def harmonic_envelope(
     f0_floor: float,
     time_smooth: int = 0,
     vuv=None,
+    ap: AnalysisParams = DEFAULT_ANALYSIS,
 ) -> jax.Array:
     """Phase-insensitive log-amplitude envelope from harmonic peaks/valleys,
     (frames, dftlen//2+1), in ops.cheaptrick's amplitude convention.
@@ -399,8 +472,13 @@ def harmonic_envelope(
     """
     from percivaltts_tpu.ops.cheaptrick import CAL
 
+    if ap.ps_shift and ap.ps_shift_nm_only:
+        # envelope reading stays frame-centered (see AnalysisParams)
+        import dataclasses
+
+        ap = dataclasses.replace(ap, ps_shift=False)
     peak, valley, k, f0c = _peaks_valleys(
-        wav, f0, fs, hop, f0_floor, time_smooth=time_smooth, vuv=vuv
+        wav, f0, fs, hop, f0_floor, time_smooth=time_smooth, vuv=vuv, ap=ap
     )
     # extra time smoothing on the VALLEYS only: the noise-level estimate is
     # 2 draws per harmonic and its variance spreads coherently over

@@ -40,7 +40,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from percivaltts_tpu.config import AnalysisParams
 from percivaltts_tpu.ops.aperiodicity import (
+    DEFAULT_ANALYSIS,
     erode5 as _erode5,
     harmonic_envelope as _harmonic_envelope,
     harmonic_noise_mask as _harmonic_noise_mask,
@@ -74,42 +76,23 @@ from percivaltts_tpu.vocoders.base import (
 # noise-mask roundtrip ≈ neutral — tests/test_vocoder_pml.py).
 NOISE_CAL = 0.97
 
-# Per-harmonic valley-track smoothing radius for the noise-mask estimator
-# (ops.aperiodicity.harmonic_noise_mask, voicing-partitioned). Measured
-# WORSE at radius 3 (scripts/boundary_diag.py 12 1234, closed_loop=2:
-# mean 4.39→5.67, flips 1.37→2.97%): the smoothed valleys shift the
-# low-band nm readings the voicing rule depends on, and the partition mask
-# (first analysis: YIN vuv of the original; re-analysis: YIN vuv of the
-# render) differs between the two analyses, so the smoothing itself
-# desynchronizes them — estimator CONSISTENCY beats per-frame variance
-# here, the same lesson as the envelope's voicing-gated-TE rejection.
-# Keep 0; do not retry without making the partition roundtrip-stable.
-NM_VALLEY_SMOOTH = 0
-
-# Minimum voiced-to-unvoiced low-band level gap (nats) for the
-# window-power-fraction placement of the rendered attack/release (see
-# pml_synthesize_amp_core); below it the edge falls back to a 1-frame
-# erosion of the voicing bit (the best fixed-offset setting, measured on
-# scripts/boundary_diag.py).
-GATE_MIN_GAP = 1.5
-
-# Window-power-fraction at which the rendered attack/release switches on
-# (see pml_synthesize_amp_core): w = 1/2 is the exact window-centered-on-
-# the-step point. Swept on scripts/boundary_diag.py (12 utts, closed loop):
-# 0.50 → 5.70 mean / 2.27% flips, 0.56 → 5.62 / 2.15%, 0.62 → 5.68 / 2.31%,
-# 0.70 → 5.84 / 2.43%; U→V resynth edge shifts are best-centered at 0.56
-# (+0 mode 23/30, no +1 tail).
-GATE_THETA = 0.56
-
-# Voiced-run edge frames whose harmonic amplitudes/phases are replaced by
-# the nearest interior frame's values before rendering (de-smearing the
-# attack — see pml_synthesize_amp_core).
-EDGE_BACKFILL = 2
-
-# Frames within this distance of a voicing edge use the window-power-
-# fraction crossing to place the rendered attack/release; deeper frames
-# follow the voicing bit directly (see pml_synthesize_amp_core).
-GATE_EDGE_RADIUS = 6
+# Analysis/rendering conventions (nm valley smoothing, gate placement,
+# edge backfill, closed-loop correction profile, THE voicing rule) live in
+# ``config.AnalysisParams`` — threaded through every core below as the
+# static ``ap`` argument — so the workdir config dump, the compose feature
+# cache and exported artifacts all record them (VERDICT round-3 weak #2).
+# Sweep provenance of each default: BASELINE.md. Highlights that must not
+# be retried blindly:
+#
+# * nm_valley_smooth=0 — radius 3 measured WORSE (mean 4.39→5.67, flips
+#   1.37→2.97%): the voicing-partitioned smoothing desynchronizes the two
+#   analyses of the closed loop (each partitions by its own YIN vuv) —
+#   estimator CONSISTENCY beats per-frame variance.
+# * gate_theta=0.56 — swept 0.50/0.56/0.62/0.70 → 5.70/5.62/5.68/5.84 dB
+#   mean; U→V resynth edge shifts best-centered at 0.56.
+# * gate_min_gap=1.5 nats — below it the w-based edge placement falls back
+#   to a 1-frame erosion of the voicing bit (best fixed offset, measured).
+# * edge_backfill=2 / gate_edge_radius=6 — see pml_synthesize_amp_core.
 
 # utterances are padded to a multiple of this many frames before the jitted
 # cores run (bounded compile-variant count)
@@ -170,6 +153,7 @@ def _smooth_noiselike(
         "f0_max",
         "envelope",
         "env_time_smooth",
+        "ap",
     ),
 )
 def pml_analyze_core(
@@ -184,6 +168,7 @@ def pml_analyze_core(
     f0_max: float,
     envelope: str = "cheaptrick",
     env_time_smooth: int = 1,
+    ap: AnalysisParams = DEFAULT_ANALYSIS,
 ) -> Tuple[jax.Array, jax.Array]:
     """waveform → ((frames, 1+spec+nm) features, (frames,) vuv).
 
@@ -239,6 +224,7 @@ def pml_analyze_core(
                 f0_floor=min(f0_min, 60.0),
                 time_smooth=env_time_smooth,
                 vuv=vuv,
+                ap=ap,
             )
             env = jnp.where(vuv[:, None] > 0.5, env_v, env)
     else:
@@ -257,7 +243,7 @@ def pml_analyze_core(
     if envelope in ("cheaptrick", "harmonic"):
         nm_raw = _harmonic_noise_mask(
             wav, f0, fs, hop, nm_size, min(f0_min, 60.0),
-            valley_smooth=NM_VALLEY_SMOOTH, vuv=vuv,
+            valley_smooth=ap.nm_valley_smooth, vuv=vuv, ap=ap,
         )
         nm = _erode5(nm_raw)
         # gate on the ERODED noisiness: the raw aperiodicity spikes on
@@ -431,9 +417,9 @@ def pml_synthesize_core(
         "f0_max",
         "noise_mod",
         "min_phase",
-        "gate_theta",
         "env_halfw",
         "env_tri_radius",
+        "ap",
     ),
 )
 def pml_synthesize_amp_core(
@@ -449,9 +435,9 @@ def pml_synthesize_amp_core(
     seed: int = 0,
     noise_mod: float = 0.4,
     min_phase: bool = True,
-    gate_theta: float = GATE_THETA,
     env_halfw: float = 2.0,
     env_tri_radius: int = 1,
+    ap: AnalysisParams = DEFAULT_ANALYSIS,
 ) -> jax.Array:
     """Amplitude-convention (cheaptrick) synthesis: harmonics carry the
     envelope's *minimum-phase* response (cepstrum → causal-cepstrum fold →
@@ -474,8 +460,8 @@ def pml_synthesize_amp_core(
     logA = spec_w @ U_spec  # (nf, bins) log amplitude
     A = jnp.exp(logA)
     nm_bins = jnp.clip(nm_w @ U_nm, 0.0, 1.0)
-    # intended voicing: the shared low-band rule (see VUV_LOW_FRAC)
-    voiced_f = _vuv_from_nm(nm_w)
+    # intended voicing: the shared low-band rule (AnalysisParams.vuv_*)
+    voiced_f = _vuv_from_nm(nm_w, ap)
 
     # ---- harmonic part: amplitudes + minimum-phase offsets --------------- #
     # Time-SHARPEN the harmonic amplitudes before rendering. The analysis
@@ -594,8 +580,8 @@ def pml_synthesize_amp_core(
         return jnp.where(vmask, x, fill)
 
     def backfill(x):
-        clean = erode1d(vmask, EDGE_BACKFILL)
-        filled, cm = fill_from_interior(x, clean, EDGE_BACKFILL)
+        clean = erode1d(vmask, ap.edge_backfill)
+        filled, cm = fill_from_interior(x, clean, ap.edge_backfill)
         # runs shorter than 2·EDGE_BACKFILL+1 have no clean interior: keep
         # the measured values there
         return jnp.where(vmask & cm, filled, x)
@@ -628,7 +614,7 @@ def pml_synthesize_amp_core(
     # interior; the unvoiced side's ~6 ms window needs only 2
     Ev, rv = interior_fill(vmask, 4)
     Eu, ru = interior_fill(~vmask, 2)
-    ok = rv & ru & ((Ev - Eu) > GATE_MIN_GAP)
+    ok = rv & ru & ((Ev - Eu) > ap.gate_min_gap)
     w_frac = jnp.clip(jnp.exp(2.0 * (E - Ev)), 0.0, 1.0)
     # fallback where the plateaus can't be localized (tiny low-band gap or
     # run too short): the voicing bit eroded by one frame on each side (the
@@ -639,15 +625,15 @@ def pml_synthesize_amp_core(
     # deep inside a voiced run a quiet phone's energy dip can push w below
     # the crossing and silence the harmonics mid-run (measured: interior
     # voiced frames re-read as unvoiced, ~35 dB per-frame MCD). Beyond
-    # GATE_EDGE_RADIUS frames of any edge the gate follows the voicing bit.
+    # gate_edge_radius frames of any edge the gate follows the voicing bit.
     vb = voiced_f > 0.5
     edge = jnp.concatenate(
         [jnp.zeros((1,), bool), vb[1:] != vb[:-1]]
     ).astype(jnp.float32)
-    near_edge = dilate1d(edge, GATE_EDGE_RADIUS)
+    near_edge = dilate1d(edge, ap.gate_edge_radius)
     w_fin = jnp.where(near_edge > 0.5, w_fin, voiced_f)
     w_s = w_fin[i0] * (1.0 - w1) + w_fin[i0 + 1] * w1
-    step = (w_s > gate_theta).astype(jnp.float32)
+    step = (w_s > ap.gate_theta).astype(jnp.float32)
     # mask to within one frame of the voiced region so plateau noise in w
     # far from any boundary cannot leak harmonics
     v_dil = dilate1d(voiced_f, 1)
@@ -710,82 +696,56 @@ def pml_synthesize_amp_core(
 
 
 # Closed-loop correction gates (see pml_closed_loop_core): frames within
-# CL_BOUNDARY_RADIUS of a voicing flip apply DAMPED corrections
-# (CL_NEAR_ALPHA, clamped to ±CL_NEAR_CLAMP nats) — the boundary error is
-# only partially a repeatable operator bias, and full-strength corrections
-# there raise the re-analysis vuv flip rate; interior frames correct at
-# full strength, clamped to ±CL_CLAMP (outlier readings near flips would
-# otherwise overshoot). Profile measured on scripts/closed_loop_proto.py
-# (12-utt sweep: damped-boundary 5.53 dB mean vs 5.93 hard-gated, flips
-# 2.66% vs 2.93%). Re-swept after the session-2 fixes
-# (scripts/cl_gate_sweep.py, 8 utts, seeds 1234/777): NA=0.65 improves
-# seed 1234 (mean 4.64→4.58, flips 1.49→1.43%) but regresses seed-777
-# flips 1.51→1.99% — rejected; BR=3/2 and NC=1.5 no better. The profile
-# below is a validated plateau.
-CL_BOUNDARY_RADIUS = 4
-CL_CLAMP = 1.5
-CL_NEAR_ALPHA = 0.5
-# Near-boundary gain for spec bands ABOVE the voicing-read region (see the
-# per-band alpha in pml_closed_loop_core). Swept 0.65/0.8 at it=2
-# (scripts/cl_gate_sweep.py, 8 utts): mean −0.06/−0.08 on both seeds but
-# seed-777 flips 1.57→1.69% — even high-band corrections perturb voicing
-# (plausibly through the full-band YIN f0 that positions the harmonicity
-# readings), so the flip-neutral 0.5 stays.
-CL_NEAR_ALPHA_HI = 0.5
-CL_NEAR_CLAMP = 1.2
-# Interior (far-from-flip) correction gain. The roundtrip operator's
-# response to a spec perturbation is slightly below identity (its Jacobian
-# smears corrections over time/frequency), so a mild overcorrection
-# recovers a bit more of the repeatable bias. Swept on
-# scripts/boundary_diag.py (12 utts, seeds 1234/777): 1.0 → 5.62/5.51 mean,
-# 1.1 → 5.57/5.45 (steady 3.15→3.07, flips unchanged), 1.2 → 5.60 with
-# flips +0.08pt, 1.3 → worse. CL_NEAR_ALPHA stays the boundary-frame gain.
-CL_FULL_ALPHA = 1.1
-# Fraction of the (warped) spec bands FROZEN in closed-loop iterations
-# beyond the first: the voicing decision reads the noise mask's low
-# quarter, whose peak/valley readings move with the low spec bands'
-# harmonic amplitudes — a ±0.8 nat (±7 dB) second-pass correction there
-# pushes safely-voiced frames' re-analysis across the 0.75 threshold
-# (measured on scripts/cl_gate_sweep.py, seed 777: it-2 flips 1.51→2.34%
-# with all bands corrected, 1.63% with the low quarter frozen, 1.57% at
-# 0.33 — saturates there; 0.42 no better). Bands above the voicing-read
-# region carry most of the interior error mass and cannot flip anything.
-CL_IT2_FREEZE_FRAC = 0.33
-# Noise-mask pre-compensation gain in the closed loop (0 = off). When
-# > 0, interior frames also subtract the nm stream's roundtrip error
-# (clamped to ±CL_NM_CLAMP) before re-rendering, on the same
-# repeatable-bias argument as the spec correction. Swept at 0.5/1.0
-# (scripts/cl_gate_sweep.py, 12 utts, it=2): 0.5 buys a consistent but
-# small 0.04–0.05 dB mean on seeds 1234/777/42 (4.39→4.34 / 4.74→4.69 /
-# 4.53→4.49) and improves tuned-seed flips, but regresses the HELD-OUT
-# seed's flips 1.63→1.75% — rejected by the no-flip-regression rule
-# (same precedent as CL_NEAR_ALPHA=0.65); 1.0 is worse on both axes.
-# Knob retained for re-sweeps if the nm estimator changes.
-CL_NM_ALPHA = 0.0
-CL_NM_CLAMP = 0.3
+# ap.cl_boundary_radius of a voicing flip apply DAMPED corrections
+# (ap.cl_near_alpha, clamped to ±ap.cl_near_clamp nats) — the boundary
+# error is only partially a repeatable operator bias, and full-strength
+# corrections there raise the re-analysis vuv flip rate; interior frames
+# correct at full strength, clamped to ±ap.cl_clamp (outlier readings near
+# flips would otherwise overshoot). The defaults (config.AnalysisParams)
+# are a validated plateau — sweep provenance, all on
+# scripts/closed_loop_proto.py / cl_gate_sweep.py / boundary_diag.py:
+#
+# * damped-boundary profile: 5.53 dB mean vs 5.93 hard-gated, flips 2.66%
+#   vs 2.93% (12 utts). Re-swept post-session-2: cl_near_alpha=0.65
+#   improves seed 1234 (4.64→4.58, flips 1.49→1.43%) but regresses
+#   seed-777 flips 1.51→1.99% — rejected; radius 3/2 and clamp 1.5 no
+#   better.
+# * cl_near_alpha_hi (near-boundary gain for bands ABOVE the voicing-read
+#   region): 0.65/0.8 buy −0.06/−0.08 dB mean but flip seed 777 1.57→1.69%
+#   — even high-band corrections perturb voicing (plausibly through the
+#   full-band YIN f0), so the flip-neutral 0.5 stays.
+# * cl_full_alpha (interior gain): the roundtrip Jacobian is slightly
+#   below identity, so mild overcorrection helps — 1.0 → 5.62/5.51 mean,
+#   1.1 → 5.57/5.45 (steady 3.15→3.07, flips unchanged), 1.2 → flips
+#   +0.08pt, 1.3 worse.
+# * cl_it2_freeze_frac (low spec bands frozen in iterations ≥ 2): the
+#   voicing decision reads the nm low quarter, which moves with the low
+#   spec bands — it-2 flips 1.51→2.34% all-bands vs 1.63% low-quarter
+#   frozen, saturating at 0.33 (0.42 no better).
+# * cl_nm_alpha (nm pre-compensation, 0 = off): 0.5 buys 0.04–0.05 dB on
+#   all seeds but regresses HELD-OUT flips 1.63→1.75% — rejected by the
+#   no-flip-regression rule. Knob retained for estimator changes.
+#
+# THE voicing rule, defined once (ap.vuv_low_frac / ap.vuv_threshold): a
+# frame is voiced iff the mean of the low quarter of its warped noise-mask
+# bands is below 0.75 (analysis writes nm = 1 everywhere on unvoiced
+# frames, so unvoiced reads exactly 1.0 while voiced low bands carry the
+# measured noise fraction, ≲0.5 plus estimator spread). Used by
+# _vuv_from_nm (closed loop), the synthesis harmonic gate, and
+# PMLVocoder.f0_vuv — all read the SAME AnalysisParams, or the closed-loop
+# same-voicing gate, the rendered gate, and the analysis decision
+# desynchronize and boundary flips return.
 
 
-# THE voicing rule, defined once: a frame is voiced iff the mean of the
-# low quarter of its warped noise-mask bands is below 0.75 (analysis
-# writes nm = 1 everywhere on unvoiced frames, so unvoiced reads exactly
-# 1.0 while voiced low bands carry the measured noise fraction, ≲0.5 plus
-# estimator spread). Used by _vuv_from_nm (closed loop), the synthesis
-# harmonic gate, and PMLVocoder.f0_vuv — change it HERE only, or the
-# closed-loop same-voicing gate, the rendered gate, and the analysis
-# decision desynchronize and boundary flips return.
-VUV_LOW_FRAC = 0.25
-VUV_THRESHOLD = 0.75
-
-
-def _vuv_low_bands(nm):
+def _vuv_low_bands(nm, ap: AnalysisParams = DEFAULT_ANALYSIS):
     """The noise-mask band slice the voicing rule reads (np or jnp)."""
-    return nm[..., : max(int(nm.shape[-1] * VUV_LOW_FRAC), 1)]
+    return nm[..., : max(int(nm.shape[-1] * ap.vuv_low_frac), 1)]
 
 
-def _vuv_from_nm(nm_w: jax.Array) -> jax.Array:
+def _vuv_from_nm(nm_w: jax.Array, ap: AnalysisParams = DEFAULT_ANALYSIS) -> jax.Array:
     """Voicing bit from the warped noise mask (the rule above)."""
     return (
-        jnp.mean(_vuv_low_bands(nm_w), axis=-1) < VUV_THRESHOLD
+        jnp.mean(_vuv_low_bands(nm_w, ap), axis=-1) < ap.vuv_threshold
     ).astype(jnp.float32)
 
 
@@ -803,6 +763,7 @@ def _vuv_from_nm(nm_w: jax.Array) -> jax.Array:
         "envelope",
         "env_time_smooth",
         "iters",
+        "ap",
     ),
 )
 def pml_closed_loop_core(
@@ -821,6 +782,7 @@ def pml_closed_loop_core(
     env_time_smooth: int = 1,
     seed: int = 0,
     iters: int = 1,
+    ap: AnalysisParams = DEFAULT_ANALYSIS,
 ) -> jax.Array:
     """Closed-loop (analysis-by-synthesis) PML rendering.
 
@@ -835,8 +797,8 @@ def pml_closed_loop_core(
     pulse-model synthesis has no equivalent — this is what makes the
     analyze→synthesize→analyze loop near-transparent). Corrections apply to
     the spec stream only, on frames where both analyses agree on voicing:
-    full strength away from voicing flips, damped (CL_NEAR_ALPHA,
-    CL_NEAR_CLAMP) within CL_BOUNDARY_RADIUS of one."""
+    full strength away from voicing flips, damped (ap.cl_near_alpha,
+    ap.cl_near_clamp) within ap.cl_boundary_radius of one."""
     syn_kw = dict(
         fs=fs,
         hop=hop,
@@ -847,6 +809,7 @@ def pml_closed_loop_core(
         seed=seed,
         env_halfw=env_halfw_for(envelope),
         env_tri_radius=env_time_smooth,
+        ap=ap,
     )
     ana_kw = dict(
         fs=fs,
@@ -859,26 +822,27 @@ def pml_closed_loop_core(
         f0_max=f0_max,
         envelope=envelope,
         env_time_smooth=env_time_smooth,
+        ap=ap,
     )
-    v1 = _vuv_from_nm(nm_w)  # (nf,)
-    # distance-to-flip gate: dilate the flip indicator CL_BOUNDARY_RADIUS
+    v1 = _vuv_from_nm(nm_w, ap)  # (nf,)
+    # distance-to-flip gate: dilate the flip indicator ap.cl_boundary_radius
     # frames each way; frames it reaches are left uncorrected
     flip = jnp.concatenate([jnp.zeros((1,)), jnp.abs(jnp.diff(v1))])
-    near = dilate1d(flip, CL_BOUNDARY_RADIUS)
+    near = dilate1d(flip, ap.cl_boundary_radius)
     # near-boundary damping is per-band: the vuv-flip channel rides the LOW
     # spec bands (they move the noise-mask readings the voicing rule
-    # depends on — see CL_IT2_FREEZE_FRAC), so low bands keep the
-    # flip-validated CL_NEAR_ALPHA while bands above the voicing-read
-    # region may correct harder (CL_NEAR_ALPHA_HI)
-    lo_b = max(int(spec_size * CL_IT2_FREEZE_FRAC), 1)
+    # depends on — see ap.cl_it2_freeze_frac), so low bands keep the
+    # flip-validated ap.cl_near_alpha while bands above the voicing-read
+    # region may correct harder (ap.cl_near_alpha_hi)
+    lo_b = max(int(spec_size * ap.cl_it2_freeze_frac), 1)
     na_band = jnp.concatenate(
         [
-            jnp.full((lo_b,), CL_NEAR_ALPHA),
-            jnp.full((spec_size - lo_b,), CL_NEAR_ALPHA_HI),
+            jnp.full((lo_b,), ap.cl_near_alpha),
+            jnp.full((spec_size - lo_b,), ap.cl_near_alpha_hi),
         ]
     )[None, :]
-    alpha = CL_FULL_ALPHA - (CL_FULL_ALPHA - na_band) * near[:, None]
-    clamp = (CL_CLAMP - (CL_CLAMP - CL_NEAR_CLAMP) * near)[:, None]
+    alpha = ap.cl_full_alpha - (ap.cl_full_alpha - na_band) * near[:, None]
+    clamp = (ap.cl_clamp - (ap.cl_clamp - ap.cl_near_clamp) * near)[:, None]
 
     spec_c = spec_w
     nm_c = nm_w
@@ -887,7 +851,7 @@ def pml_closed_loop_core(
         feats2, _ = pml_analyze_core(wav, **ana_kw)
         spec2 = feats2[:, 1 : 1 + spec_size]
         nm2 = feats2[:, 1 + spec_size :]
-        v2 = _vuv_from_nm(nm2)
+        v2 = _vuv_from_nm(nm2, ap)
         same = (v1 == v2).astype(jnp.float32)[:, None]
         if it == 0:
             a_it, c_it = alpha, clamp
@@ -901,14 +865,14 @@ def pml_closed_loop_core(
             # whose voicing reading is marginal. ``marg`` additionally
             # damps frames whose re-analysis noise-mask low-band mean sits
             # within 0.15 of the voicing threshold (_vuv_from_nm).
-            low2 = jnp.mean(_vuv_low_bands(nm2), axis=-1)
+            low2 = jnp.mean(_vuv_low_bands(nm2, ap), axis=-1)
             marg = jnp.clip(
-                jnp.abs(low2 - VUV_THRESHOLD) / 0.15, 0.0, 1.0
+                jnp.abs(low2 - ap.vuv_threshold) / 0.15, 0.0, 1.0
             )[:, None]
-            far = erode1d(1.0 - near, CL_BOUNDARY_RADIUS)
-            a_it = CL_FULL_ALPHA * far[:, None] * marg
-            # low-band freeze (see CL_IT2_FREEZE_FRAC)
-            lo = max(int(spec_size * CL_IT2_FREEZE_FRAC), 1)
+            far = erode1d(1.0 - near, ap.cl_boundary_radius)
+            a_it = ap.cl_full_alpha * far[:, None] * marg
+            # low-band freeze (see ap.cl_it2_freeze_frac)
+            lo = max(int(spec_size * ap.cl_it2_freeze_frac), 1)
             a_it = a_it * jnp.concatenate(
                 [jnp.zeros((lo,)), jnp.ones((spec_size - lo,))]
             )[None, :]
@@ -921,10 +885,10 @@ def pml_closed_loop_core(
         # without a way to separate the two components first.
         e = jnp.clip(spec2 - spec_w, -c_it, c_it) * a_it * same
         spec_c = spec_c - e
-        if CL_NM_ALPHA > 0.0:
-            # interior-only nm pre-compensation (see CL_NM_ALPHA)
-            a_nm = (CL_NM_ALPHA * (1.0 - near))[:, None] * same
-            en = jnp.clip(nm2 - nm_w, -CL_NM_CLAMP, CL_NM_CLAMP) * a_nm
+        if ap.cl_nm_alpha > 0.0:
+            # interior-only nm pre-compensation (see ap.cl_nm_alpha)
+            a_nm = (ap.cl_nm_alpha * (1.0 - near))[:, None] * same
+            en = jnp.clip(nm2 - nm_w, -ap.cl_nm_clamp, ap.cl_nm_clamp) * a_nm
             nm_c = jnp.clip(nm_c - en, 0.0, 1.0)
     return pml_synthesize_amp_core(lf0, spec_c, nm_c, **syn_kw)
 
@@ -942,6 +906,7 @@ def pml_closed_loop_core(
         "f0_max",
         "envelope",
         "env_time_smooth",
+        "ap",
     ),
 )
 def _pml_analyze_vmapped(wavs, **kw):
@@ -961,14 +926,16 @@ def _pml_analyze_vmapped(wavs, **kw):
         "f0_max",
         "env_halfw",
         "env_tri_radius",
+        "ap",
     ),
 )
 def _pml_synthesize_vmapped(
-    lf0s, specs, nms, amp, env_halfw=2.0, env_tri_radius=1, **kw
+    lf0s, specs, nms, amp, env_halfw=2.0, env_tri_radius=1,
+    ap=DEFAULT_ANALYSIS, **kw
 ):
     """vmap of a synthesis core over stacked (B, frames, ·) features."""
     if amp:
-        kw = dict(kw, env_halfw=env_halfw, env_tri_radius=env_tri_radius)
+        kw = dict(kw, env_halfw=env_halfw, env_tri_radius=env_tri_radius, ap=ap)
     core = pml_synthesize_amp_core if amp else pml_synthesize_core
     return jax.vmap(lambda a, b, c: core(a, b, c, **kw))(lf0s, specs, nms)
 
@@ -987,6 +954,7 @@ def _pml_synthesize_vmapped(
         "envelope",
         "env_time_smooth",
         "iters",
+        "ap",
     ),
 )
 def _pml_closed_loop_vmapped(lf0s, specs, nms, **kw):
@@ -1027,6 +995,7 @@ class PMLVocoder(Vocoder):
                 f0_max=c.f0_max,
                 envelope=c.envelope,
                 env_time_smooth=c.env_time_smooth,
+                ap=c.analysis,
             )
         return np.asarray(feats[:nf])
 
@@ -1091,6 +1060,7 @@ class PMLVocoder(Vocoder):
                     env_time_smooth=c.env_time_smooth,
                     seed=seed,
                     iters=c.closed_loop,
+                    ap=c.analysis,
                 )
         else:
             args = tuple(jnp.asarray(a) for a in args_np)
@@ -1099,6 +1069,7 @@ class PMLVocoder(Vocoder):
                 dict(
                     env_halfw=env_halfw_for(c.envelope),
                     env_tri_radius=c.env_time_smooth,
+                    ap=c.analysis,
                 )
                 if amp
                 else {}
@@ -1154,6 +1125,7 @@ class PMLVocoder(Vocoder):
                         env_time_smooth=c.env_time_smooth,
                         seed=seed,
                         iters=c.closed_loop,
+                        ap=c.analysis,
                     )
             return _pml_synthesize_vmapped(
                 *(jnp.asarray(a) for a in args),
@@ -1167,6 +1139,7 @@ class PMLVocoder(Vocoder):
                 seed=seed,
                 env_halfw=env_halfw_for(c.envelope),
                 env_tri_radius=c.env_time_smooth,
+                ap=c.analysis,
             )
 
         return chunked_synthesize_batch(
@@ -1192,6 +1165,7 @@ class PMLVocoder(Vocoder):
                     f0_max=c.f0_max,
                     envelope=c.envelope,
                     env_time_smooth=c.env_time_smooth,
+                    ap=c.analysis,
                 )
             return feats
 
@@ -1201,11 +1175,13 @@ class PMLVocoder(Vocoder):
 
     def f0_vuv(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """f0 from the lf0 stream; voicing from the shared low-band
-        noise-mask rule (see ``VUV_LOW_FRAC``/``VUV_THRESHOLD``) — numpy
-        here, but the SAME constants as the in-jit gates."""
+        noise-mask rule (``AnalysisParams.vuv_low_frac`` /
+        ``vuv_threshold``) — numpy here, but the SAME AnalysisParams as
+        the in-jit gates."""
         lf0 = self.stream(feats, "f0")[..., 0]
         nm = self.stream(feats, "nm")
+        ap = self.cfg.analysis
         vuv = (
-            _vuv_low_bands(nm).mean(axis=-1) < VUV_THRESHOLD
+            _vuv_low_bands(nm, ap).mean(axis=-1) < ap.vuv_threshold
         ).astype(np.float32)
         return np.exp(lf0), vuv

@@ -18,20 +18,30 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-from percivaltts_tpu.config import VocoderConfig
+from percivaltts_tpu.config import AnalysisParams, VocoderConfig
 from percivaltts_tpu.data.demo import generate_demo_corpus
 from percivaltts_tpu.eval.measures import per_frame_mcd_np
-from percivaltts_tpu.ops import aperiodicity as _ap
 from percivaltts_tpu.vocoders import get_vocoder
 
-# estimator experiment knobs (module constants are baked in at trace time —
-# one configuration per process, like scripts/cl_gate_sweep.py)
-if os.environ.get("PSYNC"):
-    _ap.PSYNC = os.environ["PSYNC"] not in ("0", "")
-if os.environ.get("PS_PERIODS"):
-    _ap.PS_PERIODS = int(os.environ["PS_PERIODS"])
-if os.environ.get("PS_REFLECT"):
-    _ap.PS_REFLECT = os.environ["PS_REFLECT"] not in ("0", "")
+
+def analysis_from_env() -> AnalysisParams:
+    """Estimator experiment knobs from env vars → a proper AnalysisParams
+    (no module mutation: the params are a static jit argument, so each
+    configuration gets its own trace and the config system records it)."""
+    import dataclasses
+
+    kw = {}
+    for f in dataclasses.fields(AnalysisParams):
+        v = os.environ.get(f.name.upper())
+        if v is None:
+            continue
+        if f.type in ("bool", bool):
+            kw[f.name] = v not in ("0", "")
+        elif f.type in ("int", int):
+            kw[f.name] = int(v)
+        else:
+            kw[f.name] = float(v)
+    return AnalysisParams(**kw)
 
 
 def boundary_distance(vuv: np.ndarray) -> np.ndarray:
@@ -54,6 +64,7 @@ def main(n_utts: int = 12, seed: int = 1234, hard: int = 0):
         spec_size=65,
         nm_size=33,
         closed_loop=int(os.environ.get("CL_ITERS", "1")),
+        analysis=analysis_from_env(),
     )
     voc = get_vocoder(cfg)
     # reuse the corpus across experiment runs (same n_utts/seed); set

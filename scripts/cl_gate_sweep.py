@@ -1,11 +1,11 @@
 """Re-sweep the closed-loop boundary damping profile.
 
-CL_NEAR_ALPHA / CL_NEAR_CLAMP / CL_BOUNDARY_RADIUS were tuned before the
-session-2 fixes (f0 sub-period trough rescue, analysis-consistent feature
-padding, CL_FULL_ALPHA=1.1) reshaped the boundary error, so the damping
-optimum may have moved. This runs ONE configuration per process (the
-constants are baked into the traced closed-loop core, so in-process
-mutation after the first synthesis would silently reuse stale jits) and
+The damping profile (AnalysisParams.cl_near_alpha / cl_near_clamp /
+cl_boundary_radius) was tuned before the session-2 fixes (f0 sub-period
+trough rescue, analysis-consistent feature padding, cl_full_alpha=1.1)
+reshaped the boundary error, so the damping optimum may have moved. This
+runs ONE configuration per process (the AnalysisParams is a static jit
+argument of the closed-loop core — one trace per configuration) and
 prints a single summary line; drive a sweep with a shell loop:
 
   for na in 0.35 0.5 0.65 0.8; do
@@ -13,7 +13,9 @@ prints a single summary line; drive a sweep with a shell loop:
   done
 
 Env knobs: CL_NA (near alpha), CL_NC (near clamp), CL_BR (boundary
-radius), CL_FA (full/interior alpha).
+radius), CL_FA (full/interior alpha), CL_FZ (it-2 freeze fraction),
+CL_NA_HI (near alpha above the voicing-read bands), CL_NM_A (nm
+pre-compensation gain).
 """
 
 import os
@@ -24,24 +26,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-from percivaltts_tpu.vocoders import pml  # noqa: E402
-
-NA = float(os.environ.get("CL_NA", pml.CL_NEAR_ALPHA))
-NC = float(os.environ.get("CL_NC", pml.CL_NEAR_CLAMP))
-BR = int(os.environ.get("CL_BR", pml.CL_BOUNDARY_RADIUS))
-FA = float(os.environ.get("CL_FA", pml.CL_FULL_ALPHA))
-FZ = float(os.environ.get("CL_FZ", pml.CL_IT2_FREEZE_FRAC))
-NAH = float(os.environ.get("CL_NA_HI", pml.CL_NEAR_ALPHA_HI))
-NMA = float(os.environ.get("CL_NM_A", pml.CL_NM_ALPHA))
-pml.CL_NM_ALPHA = NMA
-pml.CL_NEAR_ALPHA = NA
-pml.CL_NEAR_CLAMP = NC
-pml.CL_BOUNDARY_RADIUS = BR
-pml.CL_FULL_ALPHA = FA
-pml.CL_IT2_FREEZE_FRAC = FZ
-pml.CL_NEAR_ALPHA_HI = NAH
-
-from percivaltts_tpu.config import VocoderConfig  # noqa: E402
+from percivaltts_tpu.config import AnalysisParams, VocoderConfig  # noqa: E402
 from percivaltts_tpu.data.compose import load_wav  # noqa: E402
 from percivaltts_tpu.data.demo import generate_demo_corpus  # noqa: E402
 from percivaltts_tpu.eval.measures import per_frame_mcd_np  # noqa: E402
@@ -49,6 +34,17 @@ from percivaltts_tpu.vocoders import get_vocoder  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(__file__))
 from boundary_diag import boundary_distance  # noqa: E402
+
+_D = AnalysisParams()
+AP = AnalysisParams(
+    cl_near_alpha=float(os.environ.get("CL_NA", _D.cl_near_alpha)),
+    cl_near_clamp=float(os.environ.get("CL_NC", _D.cl_near_clamp)),
+    cl_boundary_radius=int(os.environ.get("CL_BR", _D.cl_boundary_radius)),
+    cl_full_alpha=float(os.environ.get("CL_FA", _D.cl_full_alpha)),
+    cl_it2_freeze_frac=float(os.environ.get("CL_FZ", _D.cl_it2_freeze_frac)),
+    cl_near_alpha_hi=float(os.environ.get("CL_NA_HI", _D.cl_near_alpha_hi)),
+    cl_nm_alpha=float(os.environ.get("CL_NM_A", _D.cl_nm_alpha)),
+)
 
 
 def main(n_utts: int = 8, seed: int = 1234):
@@ -58,6 +54,7 @@ def main(n_utts: int = 8, seed: int = 1234):
         spec_size=65,
         nm_size=33,
         closed_loop=int(os.environ.get("CL_ITERS", "1")),
+        analysis=AP,
     )
     voc = get_vocoder(cfg)
     root = os.environ.get("BDIAG_ROOT", f"/tmp/bdiag_{n_utts}_{seed}")
@@ -87,7 +84,9 @@ def main(n_utts: int = 8, seed: int = 1234):
     near = ok & (d <= 3)
     far = ok & (d >= 10)
     print(
-        f"NA={NA}/{NAH} NC={NC} BR={BR} FA={FA} FZ={FZ} NMA={NMA} it={cfg.closed_loop} | "
+        f"NA={AP.cl_near_alpha}/{AP.cl_near_alpha_hi} NC={AP.cl_near_clamp} "
+        f"BR={AP.cl_boundary_radius} FA={AP.cl_full_alpha} "
+        f"FZ={AP.cl_it2_freeze_frac} NMA={AP.cl_nm_alpha} it={cfg.closed_loop} | "
         f"mean={pf.mean():.3f} med={np.median(pf):.3f} "
         f"near03={pf[near].mean():.2f} far={pf[far].mean():.3f} "
         f"flips={flip.mean() * 100:.2f}% (n={len(pf)})"

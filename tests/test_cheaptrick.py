@@ -71,6 +71,7 @@ def test_noise_calibration():
         assert abs(mid - pred) < 0.3, (f0a, mid, pred)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("nu", [0.1, 0.3, 0.7])
 def test_noise_mask_calibration(nu):
     """Per-harmonic noise-fraction estimator reads the constructed ground

@@ -4,6 +4,7 @@ exact PML features of a fixed deterministic signal; loosening these
 tolerances intentionally requires regenerating the file (see the generator
 snippet in git history) and saying why in the commit."""
 
+import pytest
 import os
 
 import numpy as np
@@ -40,10 +41,11 @@ def test_pml_features_match_golden_te():
     _check(GOLDEN, "te")
 
 
+@pytest.mark.slow
 def test_pml_features_match_golden_cheaptrick():
     # regenerated round-3 session 7: the nm stream moved when the
     # aperiodicity reader's default became the pitch-synchronous exact-bin
-    # estimator (ops.aperiodicity.PSYNC=True, PS_PERIODS=4 — see the
+    # estimator (AnalysisParams.psync=True, ps_periods=4 — see the
     # attribution record there); the envelope path is unchanged
     _check(GOLDEN_CT, "cheaptrick")
 

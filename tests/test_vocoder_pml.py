@@ -73,6 +73,7 @@ def test_analyze_noise_is_unvoiced(voc):
     assert nm.mean() > 0.6
 
 
+@pytest.mark.slow
 def test_synthesize_shape_and_energy(voc):
     x = _voiced_signal()
     feats = voc.analyze(x)
@@ -86,6 +87,7 @@ def test_synthesize_shape_and_energy(voc):
     assert 0.25 < ey / ex < 4.0, (ex, ey)
 
 
+@pytest.mark.slow
 def test_analysis_synthesis_roundtrip_spectral(voc):
     """Re-analyzing the synthesized waveform must give features close to the
     originals — the self-consistency (copy-synthesis) gate."""
@@ -130,6 +132,7 @@ def _copy_synth_per_frame_mcd(voc, root, ids):
     return np.concatenate(pfs)
 
 
+@pytest.mark.slow
 def test_copy_synthesis_mcd_demo_corpus(voc, tmp_path):
     """The copy-synthesis fidelity gate (VERDICT round 1 item 2): MCD of
     analyze→synthesize→re-analyze over a miniature demo corpus. Round 1 was
@@ -148,6 +151,7 @@ def test_copy_synthesis_mcd_demo_corpus(voc, tmp_path):
     assert np.median(pf) < 3.1, np.median(pf)
 
 
+@pytest.mark.slow
 def test_copy_synthesis_mcd_hard_corpus(voc, tmp_path):
     """Same gate on the HARD demo corpus (plosive bursts, silence clicks,
     wide f0 down to ~62 Hz, amplitude dynamics — VERDICT round-2 item 4).
@@ -164,6 +168,7 @@ def test_copy_synthesis_mcd_hard_corpus(voc, tmp_path):
     assert np.median(pf) < 3.8, np.median(pf)
 
 
+@pytest.mark.slow
 def test_synthesize_batch_matches_per_utterance(voc):
     rng = np.random.default_rng(7)
     feats_list = []
@@ -182,6 +187,7 @@ def test_synthesize_batch_matches_per_utterance(voc):
         np.testing.assert_allclose(a, b, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_closed_loop_beats_open_loop(tmp_path):
     """Closed-loop synthesis (render → re-analyze → subtract the spec
     roundtrip error → render; pml.pml_closed_loop_core) must strictly
