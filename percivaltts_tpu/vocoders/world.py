@@ -37,7 +37,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from percivaltts_tpu.config import AnalysisParams
 from percivaltts_tpu.ops.aperiodicity import (
+    DEFAULT_ANALYSIS,
     erode5,
     harmonic_envelope,
     harmonic_noise_mask,
@@ -55,6 +57,76 @@ from percivaltts_tpu.vocoders.base import (
 )
 from percivaltts_tpu.vocoders.pml import FRAME_MULTIPLE, pml_synthesize_amp_core
 
+# Minimum voiced/unvoiced run length (frames) the predicted-voicing
+# cleanup enforces (clean_vuv): runs shorter than this merge into their
+# longer neighbor. 3 frames = 15 ms, well under any real phone.
+VUV_MIN_RUN = 3
+
+
+def clean_vuv(v: np.ndarray) -> np.ndarray:
+    """Temporal cleanup of a (possibly model-predicted) voicing stream,
+    (T,) or (B, T) → binary {0,1} float32.
+
+    WORLD's voicing is an explicit predicted stream hard-thresholded at
+    0.5 (unlike PML, whose voicing derives from the noise-mask rule); a
+    prediction dithering around the threshold therefore flips frame by
+    frame, which measured 2–3× PML's end-to-end VUV error in the matched
+    soaks (VERDICT round-3 weak #3 / item 3; the reference's VocoderWORLD
+    has the same bare threshold — ``percivaltts/vocoders.py``, file-level
+    cite, mount empty). Cleanup, gated to SOFT tracks only (any value
+    strictly inside (0.05, 0.95) — i.e. model output; binary analysis
+    tracks pass through bit-exact, so copy-synthesis and the closed loop
+    are untouched by construction, pinned in tests/test_vocoder_variants):
+
+    * median-3 smoothing kills frame-level dither around the threshold;
+    * minimum-run pruning (VUV_MIN_RUN) merges surviving sub-15 ms voicing
+      islands into the longer neighbor.
+
+    Deliberately NOT hysteresis: a state machine with a dead band latches
+    its initial state on an uncertain (all-in-band) prediction — an
+    early-training model then reads all-unvoiced and the objective
+    measures lose their F0 component (measured on the 1-epoch e2e run).
+    Median + pruning keep the 0.5 threshold's calibration and cannot
+    latch. An early-training model whose only voiced evidence is scattered
+    sub-min-run islands cleans to all-unvoiced — deliberate: 1–2-frame
+    voicing specks are not speech voicing, and the F0 measure over
+    both-voiced frames is then simply absent until the model commits
+    (the e2e tests train the WORLD arm past that point).
+    """
+    v = np.asarray(v, np.float32)
+    if v.ndim == 2:
+        return np.stack([clean_vuv(row) for row in v])
+    n = v.shape[0]
+    if n == 0:
+        return v.copy()
+    if not bool(np.any((v > 0.05) & (v < 0.95))):
+        return v.copy()  # binary analysis track: exact no-op
+    vp = np.pad(v, 1, mode="edge")
+    v = np.median(np.stack([vp[:-2], vp[1:-1], vp[2:]]), axis=0)
+    b = (v > 0.5).astype(np.float32)
+    # min-run pruning over the run-length encoding (few runs; host-side)
+    starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+    lengths = np.diff(np.r_[starts, n])
+    runs = list(zip(starts.tolist(), lengths.tolist()))
+    changed = True
+    while changed and len(runs) > 1:
+        changed = False
+        for i, (s, ln) in enumerate(runs):
+            if ln >= VUV_MIN_RUN:
+                continue
+            # neighbor lengths (run at an utterance edge keeps its class
+            # unless the single neighbor is longer)
+            left = runs[i - 1][1] if i > 0 else -1
+            right = runs[i + 1][1] if i + 1 < len(runs) else -1
+            if max(left, right) > ln:
+                b[s : s + ln] = 1.0 - b[s]
+                starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+                lengths = np.diff(np.r_[starts, n])
+                runs = list(zip(starts.tolist(), lengths.tolist()))
+                changed = True
+                break
+    return b
+
 
 @functools.partial(
     jax.jit,
@@ -68,6 +140,7 @@ from percivaltts_tpu.vocoders.pml import FRAME_MULTIPLE, pml_synthesize_amp_core
         "f0_max",
         "envelope",
         "env_time_smooth",
+        "ap",
     ),
 )
 def world_analyze_core(
@@ -81,6 +154,7 @@ def world_analyze_core(
     f0_max: float,
     envelope: str = "cheaptrick",
     env_time_smooth: int = 1,
+    ap: AnalysisParams = DEFAULT_ANALYSIS,
 ) -> jax.Array:
     """waveform → (frames, 1 + 1 + spec_size + nm_size): lf0, vuv, warped
     log-amplitude envelope, warped band aperiodicity.
@@ -121,12 +195,16 @@ def world_analyze_core(
             f0_floor=min(f0_min, 60.0),
             time_smooth=env_time_smooth,
             vuv=vuv,
+            ap=ap,
         )
         env = jnp.where(vuv[:, None] > 0.5, env_v, env)
     W_spec = jnp.asarray(warp_matrix(spec_size, dftlen, fs))
     spec_w = env @ W_spec
 
-    nm_raw = harmonic_noise_mask(wav, f0, fs, hop, nm_size, min(f0_min, 60.0))
+    nm_raw = harmonic_noise_mask(
+        wav, f0, fs, hop, nm_size, min(f0_min, 60.0),
+        valley_smooth=ap.nm_valley_smooth, vuv=vuv, ap=ap,
+    )
     bap = erode5(nm_raw)
     bap = jnp.where(vuv[:, None] > 0.5, bap, 1.0)
 
@@ -169,6 +247,7 @@ def world_analyze_core(
         "f0_max",
         "envelope",
         "env_time_smooth",
+        "ap",
     ),
 )
 def _world_analyze_vmapped(wavs, **kw):
@@ -190,6 +269,7 @@ def _world_analyze_vmapped(wavs, **kw):
         "envelope",
         "env_time_smooth",
         "iters",
+        "ap",
     ),
 )
 def world_closed_loop_core(
@@ -209,20 +289,14 @@ def world_closed_loop_core(
     env_time_smooth: int = 1,
     seed: int = 0,
     iters: int = 1,
+    ap: AnalysisParams = DEFAULT_ANALYSIS,
 ) -> jax.Array:
     """Closed-loop WORLD rendering: same operator-bias cancellation as
     ``pml.pml_closed_loop_core`` (render → re-analyze with
     ``world_analyze_core`` → subtract the spec-stream roundtrip error →
     render), with WORLD's explicit vuv stream supplying the voicing gates
     instead of the noise-mask rule."""
-    from percivaltts_tpu.vocoders.pml import (
-        CL_BOUNDARY_RADIUS,
-        CL_CLAMP,
-        CL_FULL_ALPHA,
-        CL_NEAR_ALPHA,
-        CL_NEAR_CLAMP,
-        env_halfw_for,
-    )
+    from percivaltts_tpu.vocoders.pml import env_halfw_for
 
     # voicing gates the harmonic bank through the noise mask
     nm = jnp.where(vuv[:, None] > 0.5, bap, 1.0)
@@ -239,6 +313,7 @@ def world_closed_loop_core(
         # estimator's 4·T0 → 2·T0 (pml.env_halfw_for)
         env_halfw=env_halfw_for(envelope),
         env_tri_radius=env_time_smooth,
+        ap=ap,
     )
     ana_kw = dict(
         fs=fs,
@@ -250,12 +325,15 @@ def world_closed_loop_core(
         f0_max=f0_max,
         envelope=envelope,
         env_time_smooth=env_time_smooth,
+        ap=ap,
     )
     v1 = (vuv > 0.5).astype(jnp.float32)
     flip = jnp.concatenate([jnp.zeros((1,)), jnp.abs(jnp.diff(v1))])
-    near = dilate1d(flip, CL_BOUNDARY_RADIUS)
-    alpha = (CL_FULL_ALPHA - (CL_FULL_ALPHA - CL_NEAR_ALPHA) * near)[:, None]
-    clamp = (CL_CLAMP - (CL_CLAMP - CL_NEAR_CLAMP) * near)[:, None]
+    near = dilate1d(flip, ap.cl_boundary_radius)
+    alpha = (
+        ap.cl_full_alpha - (ap.cl_full_alpha - ap.cl_near_alpha) * near
+    )[:, None]
+    clamp = (ap.cl_clamp - (ap.cl_clamp - ap.cl_near_clamp) * near)[:, None]
 
     spec_c = spec_w
     for it in range(iters):
@@ -269,8 +347,8 @@ def world_closed_loop_core(
         else:
             # iterations beyond the first: interior-only, tighter clamp
             # (same rationale as pml_closed_loop_core)
-            far = erode1d(1.0 - near, CL_BOUNDARY_RADIUS)
-            a_it, c_it = CL_FULL_ALPHA * far[:, None], 0.8
+            far = erode1d(1.0 - near, ap.cl_boundary_radius)
+            a_it, c_it = ap.cl_full_alpha * far[:, None], 0.8
         e = jnp.clip(spec2 - spec_w, -c_it, c_it) * a_it * same
         spec_c = spec_c - e
     return pml_synthesize_amp_core(lf0, spec_c, nm, **syn_kw)
@@ -290,6 +368,7 @@ def world_closed_loop_core(
         "envelope",
         "env_time_smooth",
         "iters",
+        "ap",
     ),
 )
 def _world_closed_loop_vmapped(lf0s, vuvs, specs, baps, **kw):
@@ -323,6 +402,7 @@ class WorldVocoder(Vocoder):
                 f0_max=c.f0_max,
                 envelope=c.envelope,
                 env_time_smooth=c.env_time_smooth,
+                ap=c.analysis,
             )
         return np.asarray(feats[:nf])
 
@@ -333,7 +413,9 @@ class WorldVocoder(Vocoder):
         if nf == 0:
             return np.zeros((0,), np.float32)
         lf0 = feats[:, 0]
-        vuv = feats[:, 1]
+        # the rendered gate must follow the SAME cleaned voicing f0_vuv
+        # measures (no-op for analysis features; see clean_vuv)
+        vuv = clean_vuv(feats[:, 1])
         spec = feats[:, 2 : 2 + c.spec_size]
         bap = feats[:, 2 + c.spec_size :]
 
@@ -369,6 +451,7 @@ class WorldVocoder(Vocoder):
                     env_time_smooth=c.env_time_smooth,
                     seed=seed,
                     iters=c.closed_loop,
+                    ap=c.analysis,
                 )
         else:
             from percivaltts_tpu.vocoders.pml import env_halfw_for
@@ -388,6 +471,7 @@ class WorldVocoder(Vocoder):
                 seed=seed,
                 env_halfw=env_halfw_for(c.envelope),
                 env_tri_radius=c.env_time_smooth,
+                ap=c.analysis,
             )
         return np.asarray(wav[: nf * c.shift_samples])
 
@@ -409,6 +493,7 @@ class WorldVocoder(Vocoder):
                     f0_max=c.f0_max,
                     envelope=c.envelope,
                     env_time_smooth=c.env_time_smooth,
+                    ap=c.analysis,
                 )
 
         return stacked_analyze_batch(
@@ -430,12 +515,12 @@ class WorldVocoder(Vocoder):
             for j, f in enumerate(batch):
                 n = f.shape[0]
                 lf0[j, :n] = f[:, 0]
-                vuv[j, :n] = f[:, 1]
+                vuv[j, :n] = clean_vuv(f[:, 1])
                 spec[j, :n] = f[:, 2 : 2 + c.spec_size]
                 bap[j, :n] = f[:, 2 + c.spec_size :]
                 if n:  # analysis-consistent tail (see synthesize's pad)
                     lf0[j, n:] = f[-1, 0]
-                    vuv[j, n:] = f[-1, 1]
+                    vuv[j, n:] = vuv[j, n - 1]
                     spec[j, n:] = f[-1, 2 : 2 + c.spec_size]
                     bap[j, n:] = f[-1, 2 + c.spec_size :]
             # numpy out: run() device_puts inside dsp_scope so the tunneled
@@ -460,6 +545,7 @@ class WorldVocoder(Vocoder):
                         env_time_smooth=c.env_time_smooth,
                         seed=seed,
                         iters=c.closed_loop,
+                        ap=c.analysis,
                     )
             from percivaltts_tpu.vocoders.pml import env_halfw_for
 
@@ -479,6 +565,7 @@ class WorldVocoder(Vocoder):
                 seed=seed,
                 env_halfw=env_halfw_for(c.envelope),
                 env_tri_radius=c.env_time_smooth,
+                ap=c.analysis,
             )
 
         return chunked_synthesize_batch(
@@ -486,4 +573,7 @@ class WorldVocoder(Vocoder):
         )
 
     def f0_vuv(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        return np.exp(feats[..., 0]), (feats[..., 1] > 0.5).astype(np.float32)
+        """f0 from the lf0 stream; voicing = the explicit vuv stream after
+        temporal cleanup (median-3 on soft tracks + hysteresis — see
+        ``clean_vuv``; exact no-op on binary analysis tracks)."""
+        return np.exp(feats[..., 0]), clean_vuv(feats[..., 1])

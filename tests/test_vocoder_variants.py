@@ -67,6 +67,7 @@ def test_melspec_analysis_and_griffin_lim():
         voc.f0_vuv(feats)
 
 
+@pytest.mark.slow
 def test_melspec_synthesize_batch_matches_single():
     from percivaltts_tpu.config import VocoderConfig
     from percivaltts_tpu.vocoders import get_vocoder
@@ -82,6 +83,7 @@ def test_melspec_synthesize_batch_matches_single():
         np.testing.assert_allclose(a, b, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_world_batched_paths_match_single():
     from percivaltts_tpu.config import VocoderConfig
     from percivaltts_tpu.vocoders import get_vocoder
@@ -150,6 +152,7 @@ def _true_frac(N0, f0, amp):
     return 2.0 * N0 * f0 / (2.0 * N0 * f0 + amp**2 / 2.0)
 
 
+@pytest.mark.slow
 def test_aperiodicity_uniform_mixtures_match_known_fractions():
     """White noise + constant-amplitude harmonics: every interior band must
     read the analytic noise fraction. The estimator is analytically unbiased
@@ -172,6 +175,7 @@ def test_aperiodicity_uniform_mixtures_match_known_fractions():
             assert err.max() < 0.10, (f0, N0, true, nm[sel])
 
 
+@pytest.mark.slow
 def test_aperiodicity_localizes_concentrated_noise():
     """Noise confined to 2-3 kHz must read high ONLY there: bands well
     outside stay < 0.02 while inside bands read the analytic fraction."""
@@ -216,6 +220,7 @@ def test_aperiodicity_narrow_feature_resolution_limit():
     assert nm[edge].max() < 0.1, nm[edge]
 
 
+@pytest.mark.slow
 def test_world_closed_loop_beats_open_loop(tmp_path):
     """WORLD's closed-loop rendering (world_closed_loop_core — same
     operator-bias cancellation as PML's) must improve copy-synthesis.
@@ -253,8 +258,9 @@ def test_world_closed_loop_beats_open_loop(tmp_path):
     assert np.median(pf_c) < 3.0, np.median(pf_c)
 
 
+@pytest.mark.slow
 def test_psync_reader_conventions():
-    """The pitch-synchronous exact-bin reader (ops.aperiodicity.PSYNC
+    """The pitch-synchronous exact-bin reader (AnalysisParams.psync
     alternative — measured better per-reading but worse in the closed loop,
     see the module comment) must keep the production conventions it
     advertises: a pure harmonic of amplitude a reads back a² through the
@@ -286,15 +292,22 @@ def test_psync_reader_conventions():
         assert 0.9 < mean < 1.12, (f0, mean)
 
 
+@pytest.mark.slow
 def test_ps_reflect_conventions():
-    """Boundary-side reflection (ops.aperiodicity.PS_REFLECT — measured a
+    """Boundary-side reflection (AnalysisParams.ps_reflect — measured a
     wash on tuned seeds and a slight held-out regression, kept False; see
-    the module comment) pins its contract: a no-op when the vuv track has
-    no flips, and with a flip it perturbs ONLY frames whose 4-period span
-    reaches the transition, leaving far frames bit-identical."""
+    the ops.aperiodicity comment) pins its contract: a no-op when the vuv
+    track has no flips, and with a flip it perturbs ONLY frames whose
+    4-period span reaches the transition, leaving far frames bit-identical.
+    Enabling it without a vuv track raises (partial application would be
+    silent otherwise)."""
     import jax.numpy as jnp
+    import pytest
 
+    from percivaltts_tpu.config import AnalysisParams
     from percivaltts_tpu.ops import aperiodicity as ap
+
+    refl = AnalysisParams(ps_reflect=True)
 
     rng = np.random.default_rng(1)
     f0 = 140.0
@@ -306,36 +319,180 @@ def test_ps_reflect_conventions():
     ).astype(np.float32)
     nf = len(t) // HOP
     track = jnp.full((nf,), f0, jnp.float32)
-    old = ap.PS_REFLECT
-    try:
-        ap.PS_REFLECT = True
-        # constant vuv: no flips -> exact no-op vs the unreflected reader
-        p_ref, v_ref = ap._psync_peaks_valleys(
-            jnp.asarray(sig), track, FS, HOP, nf, 20, vuv=jnp.ones((nf,))
+    # constant vuv: no flips -> exact no-op vs the unreflected reader
+    p_ref, v_ref = ap._psync_peaks_valleys(
+        jnp.asarray(sig), track, FS, HOP, nf, 20, vuv=jnp.ones((nf,)), ap=refl
+    )
+    p0, v0 = ap._psync_peaks_valleys(
+        jnp.asarray(sig), track, FS, HOP, nf, 20
+    )
+    np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p0))
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v0))
+    # one flip mid-signal: frames >4 periods away are untouched, the
+    # perturbed frames stay finite
+    vuv = jnp.asarray(np.r_[np.ones(nf // 2), np.zeros(nf - nf // 2)])
+    p1, v1 = ap._psync_peaks_valleys(
+        jnp.asarray(sig), track, FS, HOP, nf, 20, vuv=vuv, ap=refl
+    )
+    span_frames = int(np.ceil(refl.ps_periods * FS / f0 / 2 / HOP)) + 1
+    far = np.r_[
+        np.arange(0, nf // 2 - span_frames),
+        np.arange(nf // 2 + span_frames, nf),
+    ]
+    np.testing.assert_array_equal(np.asarray(p1)[far], np.asarray(p0)[far])
+    np.testing.assert_array_equal(np.asarray(v1)[far], np.asarray(v0)[far])
+    assert np.isfinite(np.asarray(p1)).all()
+    assert np.isfinite(np.asarray(v1)).all()
+    near = np.arange(max(nf // 2 - 2, 0), min(nf // 2 + 2, nf))
+    assert not np.array_equal(np.asarray(p1)[near], np.asarray(p0)[near])
+    # ps_reflect without vuv must raise, not silently skip the reflection
+    with pytest.raises(ValueError, match="ps_reflect"):
+        ap._psync_peaks_valleys(
+            jnp.asarray(sig), track, FS, HOP, nf, 20, ap=refl
         )
-        ap.PS_REFLECT = False
-        p0, v0 = ap._psync_peaks_valleys(
-            jnp.asarray(sig), track, FS, HOP, nf, 20
-        )
-        np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p0))
-        np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v0))
-        # one flip mid-signal: frames >4 periods away are untouched, the
-        # perturbed frames stay finite
-        ap.PS_REFLECT = True
-        vuv = jnp.asarray(np.r_[np.ones(nf // 2), np.zeros(nf - nf // 2)])
+
+
+def test_world_clean_vuv_borderline_track():
+    """clean_vuv (VERDICT round-3 item 3): WORLD's predicted-voicing
+    cleanup. Contract: (a) EXACT no-op on binary analysis tracks — the
+    copy-synthesis path must be untouched; (b) a soft prediction dithering
+    around the 0.5 threshold stops flipping; (c) genuine transitions
+    survive with at most ~a frame of displacement; (d) no LATCHING — an
+    all-uncertain prediction keeps its thresholded voiced fraction instead
+    of collapsing to one class (the hysteresis failure mode, measured on
+    the 1-epoch e2e run); (e) batched (B, T) form matches per-row."""
+    from percivaltts_tpu.vocoders.world import clean_vuv
+
+    rng = np.random.default_rng(5)
+    # (a) binary analysis track, incl. a 1-frame voicing island — bit-exact
+    b = (rng.random(300) > 0.5).astype(np.float32)
+    b[100:120] = 1.0
+    b[150] = 1.0
+    b[151:160] = 0.0
+    np.testing.assert_array_equal(clean_vuv(b), b)
+
+    # (b) borderline dither: 0.45/0.55 alternation must not flip at all
+    d = np.where(np.arange(200) % 2 == 0, 0.45, 0.55).astype(np.float32)
+    cleaned = clean_vuv(d)
+    assert np.all(cleaned == cleaned[0]), "dither around 0.5 still flips"
+
+    # (c) a genuine soft transition: unvoiced ~0.1, voiced ~0.9, one ramp
+    v = np.concatenate(
+        [
+            np.full(80, 0.1),
+            np.linspace(0.1, 0.9, 5),
+            np.full(80, 0.9),
+        ]
+    ).astype(np.float32) + rng.normal(0, 0.02, 165).astype(np.float32)
+    cv = clean_vuv(v)
+    assert np.all(cv[:78] == 0.0)
+    assert np.all(cv[88:] == 1.0)
+    assert np.all(np.diff(cv) >= 0)  # exactly one clean up-transition
+
+    # noisy borderline prediction: raw thresholding flips constantly,
+    # cleaned flips ~once per true transition region
+    noisy = np.where(np.arange(400) < 200, 0.42, 0.58).astype(
+        np.float32
+    ) + rng.normal(0, 0.06, 400).astype(np.float32)
+    raw_flips = int(np.sum(np.diff(noisy > 0.5) != 0))
+    cl_flips = int(np.sum(np.diff(clean_vuv(noisy)) != 0))
+    assert raw_flips > 20  # the failure mode exists in the fixture
+    assert cl_flips <= 5, (raw_flips, cl_flips)
+
+    # (d) no latching: slow sinusoid entirely inside (0.4, 0.6) — the
+    # voiced fraction must stay near the thresholded one, not collapse
+    t = np.arange(600)
+    soft = (0.5 + 0.08 * np.sin(2 * np.pi * t / 120)).astype(np.float32)
+    cs = clean_vuv(soft)
+    frac = float(cs.mean())
+    assert 0.3 < frac < 0.7, frac
+
+    # (e) batched form
+    stack = np.stack([b, np.pad(d, (0, 100), constant_values=0.0)])
+    np.testing.assert_array_equal(clean_vuv(stack)[0], clean_vuv(b))
+
+
+@pytest.mark.slow
+def test_ps_shift_conventions():
+    """Window-shift reader (AnalysisParams.ps_shift — round-4 probe of the
+    pitch-event-aligned estimator class; measured a regression on all
+    seeds via the flip channel and kept OFF, see BASELINE.md) pins its
+    contract: exact no-op when the vuv track has no flips; with a flip it
+    perturbs ONLY frames whose window reaches the transition, far frames
+    bit-identical; near-boundary voiced frames of a STATIONARY harmonic
+    read ~the same peaks as the centered window (the slide is magnitude-
+    transparent on periodic content — unlike the fold, which broke phase);
+    enabling without vuv raises."""
+    import jax.numpy as jnp
+    import pytest
+
+    from percivaltts_tpu.config import AnalysisParams
+    from percivaltts_tpu.ops import aperiodicity as ap
+
+    rng = np.random.default_rng(2)
+    f0 = 140.0
+    t = np.arange(FS, dtype=np.float32) / FS
+    sig = sum(
+        0.4 / k * np.sin(2 * np.pi * k * f0 * t + 0.3 * k) for k in (1, 2, 3, 4, 5)
+    ).astype(np.float32) + 0.01 * rng.normal(size=FS).astype(np.float32)
+    nf = len(t) // HOP
+    track = jnp.full((nf,), f0, jnp.float32)
+
+    for shift in (
+        AnalysisParams(ps_shift=True),
+        AnalysisParams(ps_shift=True, ps_shift_snap=True),
+    ):
+        p0, v0 = ap._psync_peaks_valleys(jnp.asarray(sig), track, FS, HOP, nf, 20)
         p1, v1 = ap._psync_peaks_valleys(
-            jnp.asarray(sig), track, FS, HOP, nf, 20, vuv=vuv
+            jnp.asarray(sig), track, FS, HOP, nf, 20,
+            vuv=jnp.ones((nf,)), ap=shift,
         )
-        span_frames = int(np.ceil(ap.PS_PERIODS * FS / f0 / 2 / HOP)) + 1
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+        vuv = jnp.asarray(np.r_[np.ones(nf // 2), np.zeros(nf - nf // 2)])
+        p2, v2 = ap._psync_peaks_valleys(
+            jnp.asarray(sig), track, FS, HOP, nf, 20, vuv=vuv, ap=shift
+        )
+        span_frames = int(np.ceil(shift.ps_periods * FS / f0 / 2 / HOP)) + 2
         far = np.r_[
             np.arange(0, nf // 2 - span_frames),
             np.arange(nf // 2 + span_frames, nf),
         ]
-        np.testing.assert_array_equal(np.asarray(p1)[far], np.asarray(p0)[far])
-        np.testing.assert_array_equal(np.asarray(v1)[far], np.asarray(v0)[far])
-        assert np.isfinite(np.asarray(p1)).all()
-        assert np.isfinite(np.asarray(v1)).all()
+        np.testing.assert_array_equal(np.asarray(p2)[far], np.asarray(p0)[far])
+        np.testing.assert_array_equal(np.asarray(v2)[far], np.asarray(v0)[far])
+        assert np.isfinite(np.asarray(p2)).all() and np.isfinite(np.asarray(v2)).all()
         near = np.arange(max(nf // 2 - 2, 0), min(nf // 2 + 2, nf))
-        assert not np.array_equal(np.asarray(p1)[near], np.asarray(p0)[near])
-    finally:
-        ap.PS_REFLECT = old
+        assert not np.array_equal(np.asarray(p2)[near], np.asarray(p0)[near])
+        # magnitude transparency on stationary content: shifted voiced-side
+        # peaks within 5% (log) of the centered reading
+        nearv = np.arange(nf // 2 - 4, nf // 2)
+        dev = np.abs(
+            np.log(np.asarray(p2)[nearv, :5]) - np.log(np.asarray(p0)[nearv, :5])
+        )
+        assert dev.max() < 0.05, dev.max()
+
+    with pytest.raises(ValueError, match="ps_reflect/ps_shift"):
+        ap._psync_peaks_valleys(
+            jnp.asarray(sig), track, FS, HOP, nf, 20,
+            ap=AnalysisParams(ps_shift=True),
+        )
+
+    # nm-only decoupling: harmonic_envelope ignores the shift while
+    # harmonic_noise_mask applies it
+    nm_only = AnalysisParams(ps_shift=True, ps_shift_nm_only=True)
+    vuv = jnp.asarray(np.r_[np.ones(nf // 2), np.zeros(nf - nf // 2)])
+    e_base = ap.harmonic_envelope(
+        jnp.asarray(sig), track, FS, HOP, 512, 60.0, vuv=vuv
+    )
+    e_nm = ap.harmonic_envelope(
+        jnp.asarray(sig), track, FS, HOP, 512, 60.0, vuv=vuv, ap=nm_only
+    )
+    np.testing.assert_array_equal(np.asarray(e_base), np.asarray(e_nm))
+    m_base = ap.harmonic_noise_mask(
+        jnp.asarray(sig), track, FS, HOP, 17, 60.0, vuv=vuv
+    )
+    m_nm = ap.harmonic_noise_mask(
+        jnp.asarray(sig), track, FS, HOP, 17, 60.0, vuv=vuv, ap=nm_only
+    )
+    assert not np.array_equal(np.asarray(m_base), np.asarray(m_nm))
