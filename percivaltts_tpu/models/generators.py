@@ -33,6 +33,21 @@ from percivaltts_tpu.models.rnn import BiLSTM
 from percivaltts_tpu.models.base import dtype_by_name as _dtype
 
 
+def _reg(x, norm: str, rate: float, train: bool, dt, pdt, name: str):
+    """Shared regularization point (ModelConfig.dropout_rate / gen_norm):
+    optional LayerNorm (stateless — see the config comment on why not
+    BatchNorm) then dropout, active only in training mode. At the defaults
+    (norm="none", rate=0) this adds no params and no ops, so existing
+    checkpoints restore unchanged."""
+    if norm == "layer":
+        x = nn.LayerNorm(dtype=dt, param_dtype=pdt, name=f"{name}_ln")(x)
+    elif norm != "none":
+        raise ValueError(f"unknown gen_norm: {norm}")
+    if rate > 0.0:
+        x = nn.Dropout(rate, deterministic=not train, name=f"{name}_drop")(x)
+    return x
+
+
 class FCGenerator(nn.Module):
     """Frame-wise MLP generator (reference: the FC/DNN builder in
     models_basic.py)."""
@@ -42,15 +57,19 @@ class FCGenerator(nn.Module):
     num_layers: int = 3
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    dropout_rate: float = 0.0
+    norm: str = "none"
 
     @nn.compact
     def __call__(self, lab: jax.Array, train: bool = False) -> jax.Array:
         dt = _dtype(self.compute_dtype)
+        pdt = _dtype(self.param_dtype)
         x = lab.astype(dt)
         for i in range(self.num_layers):
-            x = nn.Dense(self.hidden_size, dtype=dt, param_dtype=_dtype(self.param_dtype), name=f"dense_{i}")(x)
+            x = nn.Dense(self.hidden_size, dtype=dt, param_dtype=pdt, name=f"dense_{i}")(x)
+            x = _reg(x, self.norm, self.dropout_rate, train, dt, pdt, f"reg_{i}")
             x = nn.tanh(x)
-        x = nn.Dense(self.feat_dim, dtype=dt, param_dtype=_dtype(self.param_dtype), name="out")(x)
+        x = nn.Dense(self.feat_dim, dtype=dt, param_dtype=pdt, name="out")(x)
         return x.astype(jnp.float32)
 
 
@@ -70,6 +89,8 @@ class BLSTMGenerator(nn.Module):
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     shard_mesh: Any = None
+    dropout_rate: float = 0.0
+    norm: str = "none"
 
     @nn.compact
     def __call__(self, lab: jax.Array, train: bool = False) -> jax.Array:
@@ -77,6 +98,7 @@ class BLSTMGenerator(nn.Module):
         pdt = _dtype(self.param_dtype)
         x = lab.astype(dt)
         x = nn.Dense(self.hidden_size, dtype=dt, param_dtype=pdt, name="frontend")(x)
+        x = _reg(x, self.norm, self.dropout_rate, train, dt, pdt, "reg_fe")
         x = nn.tanh(x)
         for i in range(self.num_layers):
             x = BiLSTM(
@@ -87,6 +109,13 @@ class BLSTMGenerator(nn.Module):
                 shard_mesh=self.shard_mesh,
                 name=f"blstm_{i}",
             )(x)
+            # inter-layer dropout only (Keras-style): normalizing the
+            # recurrent outputs would change the cells' effective dynamics
+            if self.dropout_rate > 0.0:
+                x = nn.Dropout(
+                    self.dropout_rate, deterministic=not train,
+                    name=f"drop_{i}",
+                )(x)
         x = nn.Dense(self.feat_dim, dtype=dt, param_dtype=pdt, name="out")(x)
         return x.astype(jnp.float32)
 
@@ -126,6 +155,8 @@ class CNNGenerator(nn.Module):
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     shard_mesh: Any = None
+    dropout_rate: float = 0.0
+    norm: str = "none"
 
     @nn.compact
     def __call__(self, lab: jax.Array, train: bool = False) -> jax.Array:
@@ -135,6 +166,7 @@ class CNNGenerator(nn.Module):
         x = lab.astype(dt)
         for i in range(self.trunk_layers):
             x = nn.Dense(self.hidden_size, dtype=dt, param_dtype=pdt, name=f"trunk_{i}")(x)
+            x = _reg(x, self.norm, self.dropout_rate, train, dt, pdt, f"reg_{i}")
             x = nn.tanh(x)
 
         outs = []
@@ -216,6 +248,8 @@ def build_generator(
     common = dict(
         compute_dtype=model_cfg.compute_dtype,
         param_dtype=model_cfg.param_dtype,
+        dropout_rate=model_cfg.dropout_rate,
+        norm=model_cfg.gen_norm,
     )
     if kind == "fc":
         return FCGenerator(

@@ -29,9 +29,13 @@ def lse_step(
     weights from TrainConfig.stream_weights; ``ema_decay`` > 0 also advances
     the generator-EMA copy, TrainConfig.ema_decay)."""
     lab, cmp, mask = batch["lab"], batch["cmp"], batch["mask"]
+    # per-step dropout rng (ModelConfig.dropout_rate; unused modules ignore
+    # it): fold the state key by the optimizer step — deterministic, no key
+    # threading through the state
+    dkey = jax.random.fold_in(state.key, state.gen.step)
 
     def loss_fn(params):
-        pred = state.gen.apply_fn(params, lab)
+        pred = state.gen.apply_fn(params, lab, train=True, rngs={"dropout": dkey})
         return masked_mse(pred, cmp, mask, dim_weights)
 
     loss, grads = jax.value_and_grad(loss_fn)(state.gen.params)

@@ -65,9 +65,11 @@ def make_wgan_step(
         loss = -w_dist + gp_lambda * gp
         return loss, (w_dist, gp)
 
-    def gen_loss_fn(gen_params, critic_params, batch, state: GANState):
+    def gen_loss_fn(gen_params, critic_params, batch, dkey, state: GANState):
         lab, real, mask = batch["lab"], batch["cmp"], batch["mask"]
-        fake = state.gen.apply_fn(gen_params, lab)
+        fake = state.gen.apply_fn(
+            gen_params, lab, train=True, rngs={"dropout": dkey}
+        )
         adv = -jnp.mean(state.critic.apply_fn(critic_params, fake, lab, mask))
         lse = masked_mse(fake, real, mask, dim_weights)
         return adv + lse_weight * lse, (adv, lse)
@@ -77,7 +79,9 @@ def make_wgan_step(
         critic_batches: Dict[str, jax.Array],
         gen_batch: Dict[str, jax.Array],
     ) -> Tuple[GANState, Dict[str, jax.Array]]:
-        key, *eps_keys = jax.random.split(state.key, n_critic + 1)
+        key, dkey_fakes, dkey_gen, *eps_keys = jax.random.split(
+            state.key, n_critic + 3
+        )
         eps_keys = jnp.stack(eps_keys)
 
         # Generator params are frozen during the critic loop, so the fakes
@@ -87,7 +91,12 @@ def make_wgan_step(
         lab_all = critic_batches["lab"]
         nc, B = lab_all.shape[0], lab_all.shape[1]
         fakes = state.gen.apply_fn(
-            state.gen.params, lab_all.reshape((nc * B,) + lab_all.shape[2:])
+            state.gen.params,
+            lab_all.reshape((nc * B,) + lab_all.shape[2:]),
+            # training mode (dropout active, as in Keras GAN training where
+            # G(z) runs in the training phase); no-op at dropout_rate=0
+            train=True,
+            rngs={"dropout": dkey_fakes},
         )
         fakes = jax.lax.stop_gradient(
             fakes.reshape((nc, B) + fakes.shape[1:])
@@ -117,7 +126,7 @@ def make_wgan_step(
 
         (gen_loss, (adv, lse)), gen_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True
-        )(state.gen.params, critic_ts.params, gen_batch, state)
+        )(state.gen.params, critic_ts.params, gen_batch, dkey_gen, state)
         gen_ts = state.gen.apply_gradients(grads=gen_grads)
 
         metrics = {
