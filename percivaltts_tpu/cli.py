@@ -103,6 +103,21 @@ def cmd_train(args) -> int:
         print_log(f"distributed runtime: {dist.process_info()}")
         args.mesh = True
     cfg = _load_config(args.config)
+    if getattr(args, "preset", None) == "production":
+        import dataclasses
+
+        # the measured-best bundle (sweep provenance in BASELINE.md): EMA'd
+        # generator weights for eval/export (test MCD 7.52 → 7.01 at equal
+        # budget), HBM-resident corpus, and — for WGAN runs with measures
+        # enabled — GV-aware best-checkpoint selection (pure MCD anti-selects
+        # the adversarial objective). Analysis defaults (psync-4,
+        # closed_loop=2) and critic_norm="none" are already the config
+        # defaults.
+        tr = dict(ema_decay=0.995, device_corpus=True)
+        if cfg.train.trainer == "wgan" and cfg.train.measures_every > 0:
+            tr["best_metric"] = "mcd_gv"
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, **tr))
+        print_log(f"preset 'production': {tr}")
     if getattr(args, "device_corpus", False):
         import dataclasses
 
@@ -405,6 +420,14 @@ def main(argv=None) -> int:
         "--device-corpus", action="store_true", dest="device_corpus",
         help="keep the padded training corpus resident in HBM and gather "
         "batches on device (overrides TrainConfig.device_corpus)",
+    )
+    pt.add_argument(
+        "--preset", choices=("production",), default=None,
+        help="overlay a measured-best settings bundle on the config "
+        "(production: generator EMA 0.995, HBM-resident corpus, GV-aware "
+        "best-checkpoint selection for WGAN runs — see README 'Recommended "
+        "recipe'); explicit config values for these fields are overridden, "
+        "and the full effective config is dumped to the workdir as always",
     )
     pt.set_defaults(fn=cmd_train)
 

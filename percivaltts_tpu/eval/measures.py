@@ -166,3 +166,93 @@ def global_variance_ratio(
         gv_p, gv_r = gv_p[1:], gv_r[1:]
     logr = jnp.log(jnp.maximum(gv_p, eps)) - jnp.log(jnp.maximum(gv_r, eps))
     return jnp.exp(jnp.mean(logr))
+
+
+def modulation_spectrum(
+    feats: jax.Array,
+    mask: Optional[jax.Array] = None,
+    seg: int = 128,
+) -> jax.Array:
+    """Modulation spectrum: mean power spectrum over TIME of each feature
+    trajectory, (seg//2+1, D).
+
+    The standard complement to GV in the SPSS over-smoothing literature
+    (Takamichi et al. 2016's MS-constrained training targets exactly the
+    statistic an LSE regression flattens): GV catches variance collapse
+    per dimension; the MS localizes WHERE on the temporal-frequency axis
+    the dispersion was lost — temporal over-smoothing attenuates the high
+    modulation bands specifically. The reference's WGAN objective exists
+    to restore this dispersion (``optimizertts_wgan.py``, SURVEY.md §2 —
+    file-level cite, mount empty), so the measure belongs next to
+    ``global_variance_ratio`` in the study tables.
+
+    feats: (T, D) or (B, T, D); mask: (T,)/(B, T). Trajectories are
+    mean-removed per utterance (valid frames only), Hann-windowed sliding
+    segments of ``seg`` frames (hop seg/2) are rFFT'd over time, and
+    segment power spectra average with per-segment validity weights (a
+    segment that is mostly padding contributes proportionally little).
+    """
+    feats = jnp.asarray(feats, jnp.float32)
+    if feats.ndim == 2:
+        feats = feats[None]
+        mask = None if mask is None else jnp.asarray(mask)[None]
+    B, T, D = feats.shape
+    w = (
+        jnp.ones((B, T), jnp.float32)
+        if mask is None
+        else jnp.asarray(mask, jnp.float32)
+    )
+    tot = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
+    mu = jnp.sum(feats * w[..., None], axis=1, keepdims=True) / tot[..., None]
+    xc = (feats - mu) * w[..., None]  # invalid frames read 0 after centering
+
+    hop = seg // 2
+    nseg = max((max(T, seg) - seg) // hop + 1, 1)
+    pad = (nseg - 1) * hop + seg - T
+    if pad > 0:
+        xc = jnp.pad(xc, ((0, 0), (0, pad), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+    idx = jnp.arange(seg)[None, :] + hop * jnp.arange(nseg)[:, None]
+    segs = xc[:, idx, :]  # (B, nseg, seg, D)
+    win = jnp.hanning(seg).astype(jnp.float32)
+    P = jnp.square(
+        jnp.abs(jnp.fft.rfft(segs * win[None, None, :, None], axis=2))
+    )  # (B, nseg, seg//2+1, D)
+    wseg = jnp.mean(w[:, idx], axis=2)  # (B, nseg) validity fraction
+    den = jnp.maximum(jnp.sum(wseg), 1e-6)
+    return jnp.sum(P * wseg[..., None, None], axis=(0, 1)) / den
+
+
+def modulation_spectrum_ratio(
+    feats_pred: jax.Array,
+    feats_ref: jax.Array,
+    mask_pred: Optional[jax.Array] = None,
+    mask_ref: Optional[jax.Array] = None,
+    frame_rate: float = 200.0,
+    bands: tuple = ((1.0, 4.0), (4.0, 10.0), (10.0, 25.0), (25.0, 50.0)),
+    seg: int = 128,
+    exclude_c0: bool = True,
+    eps: float = 1e-12,
+) -> jax.Array:
+    """Per-modulation-band over-smoothing measure: geometric-mean over
+    (bins in band, dims) of MS(pred)/MS(ref), one ratio per band —
+    1.0 = natural temporal dispersion in that band, < 1 = temporally
+    over-smoothed there (the LSE failure mode; high bands fall first).
+
+    frame_rate: feature frames per second (200 for the 5 ms shift).
+    Returns (len(bands),). c0 (energy) excluded by default like MCD/GV.
+    """
+    if exclude_c0:
+        feats_pred = jnp.asarray(feats_pred)[..., 1:]
+        feats_ref = jnp.asarray(feats_ref)[..., 1:]
+    ms_p = modulation_spectrum(feats_pred, mask_pred, seg=seg)
+    ms_r = modulation_spectrum(feats_ref, mask_ref, seg=seg)
+    freqs = jnp.fft.rfftfreq(seg, d=1.0 / frame_rate)
+    logr = jnp.log(jnp.maximum(ms_p, eps)) - jnp.log(jnp.maximum(ms_r, eps))
+    out = []
+    for lo, hi in bands:
+        sel = ((freqs >= lo) & (freqs < hi)).astype(jnp.float32)[:, None]
+        out.append(
+            jnp.exp(jnp.sum(logr * sel) / jnp.maximum(jnp.sum(sel) * logr.shape[1], 1.0))
+        )
+    return jnp.stack(out)

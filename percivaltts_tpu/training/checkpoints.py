@@ -131,7 +131,52 @@ class CheckpointManager:
             return leaf
 
         abstract_state = jax.tree.map(_with_sharding, abstract_state)
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
+        try:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract_state)
+            )
+        except ValueError as e:
+            # Reconcile the OPTIONAL EMA branch (GANState.ema) with what the
+            # checkpoint actually holds — the template is built from the
+            # caller's config, which may disagree with the config the run
+            # trained under (e.g. trained with `--preset production`
+            # [ema_decay=0.995] and generated from the raw config, or a
+            # resume that turns EMA on over a pre-EMA checkpoint). Orbax
+            # surfaces that as a structure mismatch naming 'ema'.
+            if "ema" not in str(e):
+                raise
+            if abstract_state.ema is None:
+                # Checkpoint carries an EMA copy the template lacks: restore
+                # it into a gen-params-shaped slot (EMA leaves are f32
+                # masters regardless of param_dtype — see make_gan_state),
+                # so eval_params() serves the EMA weights the run actually
+                # validated/selected on.
+                tmpl = abstract_state.replace(
+                    ema=jax.tree.map(
+                        lambda s: jax.ShapeDtypeStruct(
+                            s.shape, "float32", sharding=s.sharding
+                        ),
+                        abstract_state.gen.params,
+                    )
+                )
+                return self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(tmpl)
+                )
+            # Template expects an EMA copy but the checkpoint predates it
+            # (resume with ema_decay>0 over a non-EMA run): restore without
+            # it and seed the EMA from the restored live params, exactly as
+            # a fresh make_gan_state would from its init.
+            restored = self._mgr.restore(
+                step,
+                args=ocp.args.StandardRestore(abstract_state.replace(ema=None)),
+            )
+            import jax.numpy as jnp
+
+            return restored.replace(
+                ema=jax.tree.map(
+                    lambda p: jnp.asarray(p, jnp.float32), restored.gen.params
+                )
+            )
 
     def close(self) -> None:
         self._mgr.close()

@@ -18,6 +18,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
+import math
 import os
 import time
 from typing import Dict, Iterator, List, Optional, Tuple
@@ -243,11 +244,12 @@ class Trainer:
         self._eval_step = jax.jit(_maybe_norm(lse_eval_sums))
 
         self.measures_stats = measures_stats
-        if cfg.train.best_metric == "mcd" and (
+        if cfg.train.best_metric in ("mcd", "mcd_gv") and (
             cfg.train.measures_every <= 0 or measures_stats is None
         ):
             raise ValueError(
-                "best_metric='mcd' needs measures_every > 0 and measures_stats"
+                f"best_metric={cfg.train.best_metric!r} needs "
+                "measures_every > 0 and measures_stats"
             )
 
         self.best_valid = float("inf")
@@ -505,6 +507,15 @@ class Trainer:
             # trainer selects on the objective measures, not the LSE loss)
             if cfg.best_metric == "mcd":
                 score = obj["mcd_db"] if obj is not None else float("nan")
+            elif cfg.best_metric == "mcd_gv":
+                # GV-aware composite (see TrainConfig.best_gv_weight): a
+                # pure-MCD rule anti-selects the WGAN arm
+                score = (
+                    obj["mcd_db"]
+                    + cfg.best_gv_weight * abs(math.log(max(obj["gv_ratio"], 1e-6)))
+                    if obj is not None
+                    else float("nan")
+                )
             else:
                 score = va
             improved = score < self.best_valid if score == score else False

@@ -32,6 +32,7 @@ def build_cfg(
     hidden: int = 128,
     lse_w: float = 0.25,
     ema: float = 0.0,
+    best: str = "mcd",
 ) -> Configuration:
     # The round-2 soak recipe (converged to test MCD 8.75 in 2000 WGAN outer
     # steps): spec 33 / nm 17, critic_hidden 128, 3 CNN blocks. At spec 65 /
@@ -42,7 +43,8 @@ def build_cfg(
         workdir=os.path.join(
             root,
             f"exp_{trainer}"
-            + (f"_w{lse_w:g}" if trainer == "wgan" and lse_w != 0.25 else ""),
+            + (f"_w{lse_w:g}" if trainer == "wgan" and lse_w != 0.25 else "")
+            + (f"_{best}" if trainer == "wgan" and best != "mcd" else ""),
         ),
         data=DataConfig(
             corpus_dir=os.path.join(root, "corpus"),
@@ -73,7 +75,10 @@ def build_cfg(
             checkpoint_every=5,
             keep_checkpoints=2,
             measures_every=5,
-            best_metric="mcd",
+            # "mcd_gv" for the WGAN arm fixes the selection bias a
+            # mean-seeking metric has against the adversarial objective
+            # (VERDICT round-3 weak #6); LSE keeps plain MCD either way
+            best_metric=best if trainer == "wgan" else "mcd",
             patience=10**6,  # fixed-budget study: no early stopping
             device_corpus=True,
             seed=123,  # SAME init/data order for both runs
@@ -93,6 +98,7 @@ def main(
     lse_w: float = 0.25,
     arms: str = "lse,wgan",
     ema: float = 0.0,
+    best: str = "mcd",
 ):
     from percivaltts_tpu.data.demo import generate_demo_corpus
 
@@ -113,7 +119,9 @@ def main(
 
     results = {}
     for trainer in arms.split(","):
-        cfg = build_cfg(root, trainer, epochs, hidden=hidden, lse_w=lse_w, ema=ema)
+        cfg = build_cfg(
+            root, trainer, epochs, hidden=hidden, lse_w=lse_w, ema=ema, best=best
+        )
         from percivaltts_tpu.cli import cmd_generate, cmd_train
 
         class A:  # minimal argparse stand-in
@@ -170,7 +178,8 @@ def main(
             f"{t:>5}: mcd {m.get('mcd_db', float('nan')):.2f} dB, "
             f"f0 {m.get('f0_rmse_hz', float('nan')):.1f} Hz, "
             f"vuv {m.get('vuv_error_pct', float('nan')):.1f}%, "
-            f"gv_ratio {m.get('gv_ratio', float('nan')):.3f}"
+            f"gv_ratio {m.get('gv_ratio', float('nan')):.3f}, "
+            f"ms_hi {m.get('ms_ratio_hi', float('nan')):.3f}"
         )
 
 
@@ -180,7 +189,7 @@ if __name__ == "__main__":
         k, v = a.split("=")
         kw[k] = (
             v
-            if k in ("root", "arms")
+            if k in ("root", "arms", "best")
             else (float(v) if k in ("jitter", "speaker_f0", "lse_w", "ema") else int(v))
         )
     main(**kw)

@@ -95,3 +95,74 @@ def test_global_variance_ratio_excludes_c0():
     pred = ref.copy()
     pred[:, 0] = 5.0 * rng.normal(size=200)
     assert abs(float(global_variance_ratio(pred, ref)) - 1.0) < 1e-5
+
+
+def test_modulation_spectrum_ratio_detects_temporal_oversmoothing():
+    """Oracle (VERDICT round-3 item 7): temporally low-passed features must
+    score WORSE in the high modulation bands — the specific failure GV
+    cannot see (a per-frame-independent renoising restores GV exactly but
+    not the trajectory dynamics). Identical features read 1.0 per band."""
+    from percivaltts_tpu.eval.measures import (
+        global_variance_ratio,
+        modulation_spectrum_ratio,
+    )
+
+    rng = np.random.default_rng(2)
+    # natural-ish trajectories: white noise + slow sinusoids, (T, D)
+    T, D = 1200, 13
+    t = np.arange(T)[:, None]
+    ref = (
+        rng.normal(0, 0.5, size=(T, D))
+        + np.sin(2 * np.pi * t * rng.uniform(0.01, 0.1, D)[None, :])
+    ).astype(np.float32)
+
+    same = np.asarray(modulation_spectrum_ratio(ref, ref))
+    np.testing.assert_allclose(same, 1.0, atol=1e-5)
+
+    # temporal low-pass (moving average over 9 frames = ~22 Hz cutoff at
+    # 200 fps): high bands must collapse, lowest band must survive
+    k = np.ones(9) / 9.0
+    smooth = np.stack(
+        [np.convolve(ref[:, d], k, mode="same") for d in range(D)], axis=1
+    ).astype(np.float32)
+    r = np.asarray(modulation_spectrum_ratio(smooth, ref))
+    assert r[-1] < 0.1, r  # 25-50 Hz band nearly gone
+    assert r[-2] < 0.5, r  # 10-25 Hz band strongly attenuated
+    assert r[0] > 0.6, r  # 1-4 Hz band mostly intact
+
+    # the case that motivates MS beside GV: rescale the smoothed features
+    # to restore per-dim variance exactly -> GV ratio says ~1, MS still
+    # flags the missing high-band dynamics
+    mu = smooth.mean(axis=0, keepdims=True)
+    sd_ref = ref.std(axis=0, keepdims=True)
+    sd_sm = smooth.std(axis=0, keepdims=True)
+    renorm = (mu + (smooth - mu) * sd_ref / sd_sm).astype(np.float32)
+    gv = float(global_variance_ratio(renorm, ref, exclude_c0=False))
+    assert abs(gv - 1.0) < 1e-3, gv
+    r2 = np.asarray(
+        modulation_spectrum_ratio(renorm, ref, exclude_c0=False)
+    )
+    assert r2[-1] < 0.2, r2
+
+
+def test_modulation_spectrum_mask_and_c0():
+    """Masked frames must not contribute; a c0-only difference must not
+    move the (exclude_c0) ratio."""
+    from percivaltts_tpu.eval.measures import modulation_spectrum_ratio
+
+    rng = np.random.default_rng(3)
+    ref = rng.normal(size=(700, 8)).astype(np.float32)
+    # corrupt the tail, then mask it out
+    bad = np.concatenate(
+        [ref, 50.0 * np.ones((300, 8), np.float32)], axis=0
+    )
+    mask = np.concatenate([np.ones(700), np.zeros(300)]).astype(np.float32)
+    r = np.asarray(
+        modulation_spectrum_ratio(bad, ref, mask_pred=mask, exclude_c0=False)
+    )
+    np.testing.assert_allclose(r, 1.0, atol=0.05)
+
+    pred = ref.copy()
+    pred[:, 0] = 10.0 * rng.normal(size=700)
+    r2 = np.asarray(modulation_spectrum_ratio(pred, ref))
+    np.testing.assert_allclose(r2, 1.0, atol=1e-4)
