@@ -3,10 +3,16 @@
 
 PYTHON ?= python
 
-.PHONY: tests native demo bench clean
+.PHONY: tests tests-fast native demo bench clean
 
 tests:
 	$(PYTHON) -m pytest tests/ -q
+
+# seconds-tier unit/oracle tests only (~90 s): the edit-test loop.
+# `make tests` (or pytest -m slow) adds the minutes-tier e2e/distributed/
+# copy-synthesis suites.
+tests-fast:
+	$(PYTHON) -m pytest tests/ -q -m "not slow"
 
 native:
 	$(MAKE) -C native

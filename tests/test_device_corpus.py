@@ -12,6 +12,8 @@ from percivaltts_tpu.data.dataset import Dataset
 from percivaltts_tpu.data.device_corpus import DeviceCorpus, gather_batch
 from percivaltts_tpu.training import Trainer
 
+pytestmark = pytest.mark.slow  # minutes-tier integration (VERDICT r3 item 9)
+
 VOC = VocoderConfig(spec_size=9, nm_size=5)
 LDIM = 7
 

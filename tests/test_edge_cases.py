@@ -18,6 +18,7 @@ def test_empty_waveform_clean_error(kind):
         voc.analyze(np.zeros((10, 2), np.float32))
 
 
+@pytest.mark.slow
 def test_sub_frame_waveform_analyzes():
     voc = get_vocoder(VocoderConfig(kind="pml", spec_size=33, nm_size=17))
     f = voc.analyze(np.zeros(100, np.float32))  # shorter than one frame
@@ -46,6 +47,7 @@ def test_single_utterance_dataset_batches():
     assert batches[0]["lab"].shape == (2, 16, 3)
 
 
+@pytest.mark.slow
 def test_estimate_f0_very_short_signal():
     """Tracks shorter than the median filters must not crash the jitted
     analysis (truncated/glitch utterances in a corpus)."""

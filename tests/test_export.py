@@ -28,6 +28,7 @@ def _stats(dim):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["fc", "cnn_blstm"])
 def test_export_roundtrip_exact(tmp_path, kind):
     cfg = ModelConfig(
@@ -63,6 +64,7 @@ def test_export_roundtrip_exact(tmp_path, kind):
         ex(np.zeros((65, 7), np.float32))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["fc", "cnn_blstm"])
 def test_export_batched_matches_single(tmp_path, kind):
     """batch>1 throughput artifacts must reproduce the batch-1 path row by

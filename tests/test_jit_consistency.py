@@ -9,6 +9,8 @@ from percivaltts_tpu.config import VocoderConfig
 from percivaltts_tpu.data.dataset import Dataset
 from percivaltts_tpu.vocoders import get_vocoder
 
+pytestmark = pytest.mark.slow  # minutes-tier integration (VERDICT r3 item 9)
+
 FS = 16000
 
 

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -98,6 +99,7 @@ def test_ondevice_norm_padding_cannot_leak():
     np.testing.assert_allclose(l1, l2, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_ondevice_norm_wgan_runs():
     cfg = _cfg("wgan")
     ins, outs = _stats(LDIM, 6), _stats(VOC.feature_size, 7)

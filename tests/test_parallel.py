@@ -73,6 +73,7 @@ def test_lse_step_dp_matches_single_device():
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_wgan_step_dp_matches_single_device():
     cfg = _cfg("wgan")
     n = cfg.train.n_critic

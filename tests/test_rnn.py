@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,6 +41,7 @@ def test_bilstm_matches_two_rnn_oracle():
     np.testing.assert_allclose(np.asarray(out), np.asarray(oracle), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_bilstm_pallas_matches_scan():
     """The Pallas kernel path (interpret mode on CPU) must match the fused
     scan fallback bit-for-bit in f32 — forward and gradients."""
@@ -82,6 +84,7 @@ def test_bilstm_direction_params_differ():
     )
 
 
+@pytest.mark.slow
 def test_bilstm_grad_flows_and_unroll_consistent():
     B, T, D, H = 2, 16, 5, 4
     rng = np.random.default_rng(2)
@@ -110,6 +113,7 @@ def test_bgru_runs_and_differs_from_lstm():
     assert np.isfinite(np.asarray(yg)).all()
 
 
+@pytest.mark.slow
 def test_bilstm_pallas_under_sharded_batch_jit():
     """The Pallas path must compile and match unsharded numerics when the
     batch is sharded over the data axis of a mesh (multi-chip DP: XLA may
@@ -163,6 +167,7 @@ def test_bgru_matches_flax_rnn_oracle():
     np.testing.assert_allclose(np.asarray(out), np.asarray(oracle), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_bgru_pallas_matches_scan():
     B, T, D, H = 2, 16, 5, 4
     rng = np.random.default_rng(12)
@@ -199,6 +204,7 @@ def test_bilstm_pallas_odd_length():
     )
 
 
+@pytest.mark.slow
 def test_bilstm_pallas_shard_map_partitioned():
     """With shard_mesh set, the kernel runs under shard_map partitioned over
     the data axis (each device computes its local batch rows) and must equal

@@ -17,6 +17,8 @@ from percivaltts_tpu.data.device_corpus import DeviceCorpus, make_sharded_gather
 from percivaltts_tpu.parallel import make_mesh
 from percivaltts_tpu.training import Trainer
 
+pytestmark = pytest.mark.slow  # minutes-tier integration (VERDICT r3 item 9)
+
 VOC = VocoderConfig(spec_size=9, nm_size=5)
 LDIM = 7
 

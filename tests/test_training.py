@@ -69,6 +69,7 @@ def test_lse_step_decreases_loss():
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_wgan_step_runs_and_updates_both_nets():
     cfg = _cfg(trainer="wgan", generator="cnn")
     ds = _toy_ds()
@@ -134,6 +135,7 @@ def test_trainer_resume(tmp_path):
     t2.close()
 
 
+@pytest.mark.slow
 def test_trainer_wgan_end_to_end(tmp_path):
     cfg = _cfg(trainer="wgan", generator="cnn", workdir=str(tmp_path / "exp"))
     ds = _toy_ds(n=24)
@@ -242,6 +244,7 @@ def test_validation_is_frame_weighted(tmp_path):
     np.testing.assert_allclose(va, expect, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_profile_steps_emits_trace_and_timings(tmp_path):
     """TrainConfig.profile_steps captures a jax.profiler trace of the first
     post-compile epoch and step timings land in the epoch records."""
@@ -280,6 +283,7 @@ def test_checkpoint_retention_keeps_latest_and_best(tmp_path):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_ema_generator_weights(tmp_path):
     """ema_decay > 0: the state carries an EMA copy that follows the exact
     recursion ema <- d*ema + (1-d)*params through BOTH trainer steps, the
@@ -338,3 +342,45 @@ def test_ema_checkpoint_roundtrip(tmp_path):
     for got, want in zip(jax.tree.leaves(restored.ema), jax.tree.leaves(tr.state.ema)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
     tr.close()
+
+
+@pytest.mark.slow
+def test_best_metric_mcd_gv_composite(tmp_path):
+    """best_metric='mcd_gv' (VERDICT round-3 weak #6): selection follows
+    MCD + w·|ln GV-ratio|, not raw MCD — the composite that stops a
+    mean-seeking rule from anti-selecting the WGAN arm's dispersion."""
+    import json
+    import math
+
+    from percivaltts_tpu.data.normalize import NormStats
+
+    cfg = _cfg(
+        workdir=str(tmp_path),
+        measures_every=1,
+        best_metric="mcd_gv",
+        epochs=3,
+    )
+    ds = _toy_ds()
+    stats = NormStats(
+        shift=np.zeros(VOC.feature_size, np.float32),
+        scale=np.ones(VOC.feature_size, np.float32),
+    )
+    tr = Trainer(cfg, ds, ds, measures_stats=stats)
+    tr.train()
+    tr.close()
+    records = [
+        json.loads(l) for l in open(os.path.join(str(tmp_path), "metrics.jsonl"))
+    ]
+    objs = [r for r in records if r.get("kind") == "objective"]
+    assert len(objs) == 3
+    w = cfg.train.best_gv_weight
+
+    def composite(r):
+        return r["mcd_db"] + w * abs(math.log(max(r["gv_ratio"], 1e-6)))
+
+    best = min(objs, key=composite)
+    assert tr.best_epoch == best["epoch"]
+    assert abs(tr.best_valid - composite(best)) < 1e-9
+    # the guard: composite selection without measures must refuse
+    with pytest.raises(ValueError, match="mcd_gv"):
+        Trainer(_cfg(workdir=str(tmp_path / "x"), best_metric="mcd_gv"), ds, ds)

@@ -2,6 +2,7 @@
 term — a double-backprop — checked against an independent torch
 implementation with identical weights and inputs."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,6 +33,7 @@ def _critic_torch(params, x):
     return (h @ W2)[..., 0].mean(dim=-1)
 
 
+@pytest.mark.slow
 def test_gradient_penalty_matches_torch():
     W = _weights()
     rng = np.random.default_rng(1)
