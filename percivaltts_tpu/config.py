@@ -75,6 +75,12 @@ class AnalysisParams:
     # valley-track smoothing radius for the noise-mask estimator (frames);
     # radius 3 measured worse (analysis-pair desynchronization, pml.py)
     nm_valley_smooth: int = 0
+    # band-aperiodicity estimator for the WORLD vocoder's bap stream:
+    # "peak_valley" (default — the shared exact-bin reader) or "d4c_gd"
+    # (the D4C algorithm family: energy-weighted group-delay variance per
+    # coarse band — see ops/aperiodicity.py::group_delay_aperiodicity;
+    # reference: pyworld D4C in percivaltts/vocoders.py [mount empty])
+    bap_method: str = "peak_valley"
 
     # --- rendered attack/release gate (vocoders/pml.py synthesis) ---
     # window-power-fraction at which the rendered attack/release switches on
@@ -260,6 +266,10 @@ class ModelConfig:
     critic_channels: int = 32
     critic_blocks: int = 4
     critic_hidden: int = 256
+    # conv tap count (time taps for conv_style "time1d", both axes for
+    # "2d"); exposed for the wider-shallower iso-param probes of the
+    # bandwidth-bound critic forward (scripts/critic_arch_probe.py)
+    critic_kernel: int = 5
     # per WGAN-GP practice the critic never uses batch norm. "none"
     # (default) matches the reference's likely plain-conv critic AND is
     # measured 7% faster on the fused headline step (21.88 → 20.34 ms —

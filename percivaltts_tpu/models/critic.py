@@ -214,6 +214,7 @@ def build_critic(model_cfg: ModelConfig, vocoder: VocoderConfig) -> Critic:
         channels=model_cfg.critic_channels,
         blocks=model_cfg.critic_blocks,
         hidden=model_cfg.critic_hidden,
+        kernel=(model_cfg.critic_kernel, model_cfg.critic_kernel),
         conv_style=model_cfg.conv_style,
         norm=model_cfg.critic_norm,
         compute_dtype=model_cfg.compute_dtype,

@@ -155,12 +155,14 @@ PS_N = 2048
 # be silent and undetectable during experiments).
 
 
-def _psync_peaks_valleys(
-    wav, f0c, fs, hop, nf, K, vuv=None, ap: AnalysisParams = DEFAULT_ANALYSIS
+def _psync_frames(
+    wav, f0c, fs, hop, nf, vuv=None, ap: AnalysisParams = DEFAULT_ANALYSIS
 ):
-    """Pitch-synchronous exact-bin (peak, valley), (nf, K) each, in the
-    4·T0 path's conventions (peak: such that a² = peak·ENV_PK·f0/fs;
-    valley: white noise of per-sample variance σ² reads σ²)."""
+    """Pitch-synchronously resampled analysis frames, (nf, PS_N): PS_PERIODS
+    pitch periods linear-resampled to PS_N samples, window placement per the
+    AnalysisParams conventions (centered; optional reflect/shift near
+    voicing transitions). Shared by the exact-bin peak/valley reader and the
+    group-delay aperiodicity statistic."""
     PS_PERIODS = ap.ps_periods
     span = PS_PERIODS * fs / f0c  # (nf,) original samples per frame
     centers = jnp.arange(nf, dtype=jnp.float32) * hop
@@ -231,7 +233,17 @@ def _psync_peaks_valleys(
     idx = jnp.clip(idx, 0.0, wav.shape[0] - 1.001)
     i0 = jnp.floor(idx).astype(jnp.int32)
     frac = (idx - i0).astype(wav.dtype)
-    seg = wav[i0] * (1.0 - frac) + wav[i0 + 1] * frac  # (nf, N)
+    return wav[i0] * (1.0 - frac) + wav[i0 + 1] * frac  # (nf, N)
+
+
+def _psync_peaks_valleys(
+    wav, f0c, fs, hop, nf, K, vuv=None, ap: AnalysisParams = DEFAULT_ANALYSIS
+):
+    """Pitch-synchronous exact-bin (peak, valley), (nf, K) each, in the
+    4·T0 path's conventions (peak: such that a² = peak·ENV_PK·f0/fs;
+    valley: white noise of per-sample variance σ² reads σ²)."""
+    PS_PERIODS = ap.ps_periods
+    seg = _psync_frames(wav, f0c, fs, hop, nf, vuv=vuv, ap=ap)
     n = jnp.arange(PS_N, dtype=jnp.float32)
     win = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n / PS_N)  # periodic Hann
     wsum2 = jnp.sum(win * win)
@@ -510,3 +522,123 @@ def harmonic_envelope(
     freqs = jnp.arange(bins, dtype=jnp.float32) * fs / dftlen
     hpos = freqs[None, :] / f0c[:, None] - 1.0  # harmonic-index space
     return lerp_cols(logA_k, hpos)  # clamped: holds h1 below f0
+
+
+# --- D4C-family group-delay band aperiodicity -------------------------------
+#
+# The algorithm FAMILY of WORLD's D4C (Morise 2016, "D4C, a band-
+# aperiodicity estimator using the group delay of a periodic signal" /
+# pyworld's d4c — the estimator the reference's VocoderWORLD uses:
+# percivaltts/vocoders.py, file-level cite, mount empty): aperiodicity is
+# read from the STATISTICS OF THE GROUP DELAY across a frequency band, not
+# from peak/valley power ratios. For a clean harmonic signal under a
+# symmetric window, spectral energy sits at the harmonics and the group
+# delay τ(ω) = −dφ/dω at energy-bearing bins is the window's (constant)
+# energy centroid; additive noise randomizes τ in proportion to its local
+# power share, up to the pure-noise asymptote where τ is distributed with
+# the window's own RMS time spread. The energy-weighted variance of τ
+# within a band, normalized by that asymptote, is therefore a monotone
+# [0,1] aperiodicity statistic — independent of the peak/valley reader, so
+# the two estimator families cross-check each other.
+#
+# TPU-first implementation: the statistic is computed on the SAME
+# pitch-synchronously resampled frames as the exact-bin reader
+# (_psync_frames — harmonics on exact bins, one batched rfft pair), with
+# τ(m) = Re(X_d(m)·conj(X(m)))/|X(m)|² where X_d is the rfft of the
+# time-weighted frame ((n−N/2)·w(n)·x(n)) — the standard derivative-of-
+# phase identity, no unwrapping, no data-dependent control flow. Band
+# aggregation follows D4C's coarse-band design (GD_BAND_HZ-wide linear
+# bands; the statistic needs many bins to converge, which is exactly why
+# D4C reports coarse bands), then expands to the warped band axis by
+# linear interpolation between coarse-band centers.
+
+# Coarse-band width (Hz). D4C uses 3 kHz bands at fs=16k+ (boundaries
+# 3/6/... kHz); 2 kHz here reads slightly finer structure at the same
+# statistic quality on the oracle mixtures (>= 60 bins/band at PS_N=2048).
+GD_BAND_HZ = 2000.0
+
+# Measured calibration of the statistic (CPU, synthetic mixtures via the
+# tests/test_vocoder_variants.py harness; constants are physics-of-the-
+# window measurements, module-level like NM_RHO/ENV_PK — not conventions):
+#
+# * GD_NOISE_VAR — the pure-noise asymptote of the ENERGY-WEIGHTED
+#   group-delay variance, in units of T_w² (T_w² = Σw²(n−N/2)²/Σw²):
+#   measured 0.481 (flat across all bands/f0; the power weighting
+#   suppresses high-|τ| low-power bins, hence ≈1/2 rather than 1).
+# * GD_FLOOR — the pure-HARMONIC reading: 0.026 (frame-resample jitter
+#   plus the harmonics' residual mainlobe spread).
+# * GD_MIX_EXP — the mixture law. With r' = (s²/T_w² − floor)/(V_n −
+#   floor), the measured curve across f0 ∈ {100, 250} and noise
+#   fractions 0.09–0.83 is r' ≈ 1 − (1−a)³ (per-point exponents
+#   2.6–3.1 below a=0.5), so the inverse a = 1 − (1−r')^(1/3) recovers
+#   the true fraction to |err| ≤ 0.02 for a ≤ 0.5 and ~0.1 in the
+#   saturated 0.67–0.83 range — the same coarse-at-high-aperiodicity
+#   behavior as D4C itself (the statistic compresses as the harmonic
+#   reference drowns).
+GD_NOISE_VAR = 0.481
+GD_FLOOR = 0.026
+GD_MIX_EXP = 3.0
+
+
+def group_delay_aperiodicity(
+    wav: jax.Array,
+    f0: jax.Array,
+    fs: int,
+    hop: int,
+    num_bands: int,
+    f0_floor: float,
+    vuv: jax.Array | None = None,
+    ap: AnalysisParams = DEFAULT_ANALYSIS,
+) -> jax.Array:
+    """Band aperiodicity from the group-delay statistic, (frames, bands)
+    in [0, 1] (0 = deterministic, 1 = noise) on the warped band axis —
+    the D4C-family alternative to ``harmonic_noise_mask``'s peak/valley
+    reader (AnalysisParams.bap_method = "d4c_gd")."""
+    f0c = jnp.clip(jnp.asarray(f0, jnp.float32), f0_floor, fs / 2.0)
+    nf = f0c.shape[0]
+    seg = _psync_frames(wav, f0c, fs, hop, nf, vuv=vuv, ap=ap)
+    n = jnp.arange(PS_N, dtype=jnp.float32)
+    win = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n / PS_N)  # periodic Hann
+    nc = n - PS_N / 2
+    X = jnp.fft.rfft(seg * win, axis=-1)
+    Xd = jnp.fft.rfft(seg * win * nc, axis=-1)
+    P = X.real * X.real + X.imag * X.imag  # (nf, N/2+1)
+    # group delay in resampled samples; normalized by the window's RMS
+    # time spread so the pure-noise asymptote is O(1)
+    tw2 = jnp.sum(win * win * nc * nc) / jnp.sum(win * win)
+    tau = (Xd.real * X.real + Xd.imag * X.imag) / jnp.maximum(P, 1e-30)
+    u = tau / jnp.sqrt(tw2)
+
+    # per-frame frequency of each resampled bin, in original Hz
+    bins = jnp.arange(PS_N // 2 + 1, dtype=jnp.float32)
+    fbin = bins[None, :] * f0c[:, None] / ap.ps_periods  # (nf, nbins)
+    # usable bins: above DC's mainlobe, below both the original Nyquist
+    # and the last fully-representable resampled bin
+    cap_hz = (PS_N // 2 - ap.ps_periods) * f0c / ap.ps_periods
+    usable = (bins[None, :] >= 2.0) & (
+        fbin < jnp.minimum(fs / 2.0, cap_hz[:, None])
+    )
+
+    n_coarse = max(int(math.ceil((fs / 2.0) / GD_BAND_HZ)), 1)
+    edges = jnp.arange(n_coarse + 1, dtype=jnp.float32) * GD_BAND_HZ
+    a_coarse = []
+    for b in range(n_coarse):
+        m = usable & (fbin >= edges[b]) & (fbin < edges[b + 1])
+        w = jnp.where(m, P, 0.0)
+        tot = jnp.maximum(jnp.sum(w, axis=1), 1e-30)
+        mu = jnp.sum(w * u, axis=1) / tot
+        s2 = jnp.sum(w * (u - mu[:, None]) ** 2, axis=1) / tot
+        # bands with (numerically) no usable energy read 1.0 (pure noise)
+        has = jnp.sum(m.astype(jnp.float32), axis=1) > 2.0
+        # invert the measured mixture law (see the constants above)
+        rp = jnp.clip((s2 - GD_FLOOR) / (GD_NOISE_VAR - GD_FLOOR), 0.0, 1.0)
+        a_b = 1.0 - (1.0 - rp) ** (1.0 / GD_MIX_EXP)
+        a_coarse.append(jnp.where(has, a_b, 1.0))
+    a_coarse = jnp.stack(a_coarse, axis=1)  # (nf, n_coarse)
+
+    # expand to the warped band axis: linear interpolation between coarse
+    # band centers (D4C's own expansion when writing per-bin aperiodicity)
+    centers_hz = jnp.asarray(_band_centers_hz(num_bands, fs), jnp.float32)
+    ccenters = (edges[:-1] + edges[1:]) / 2.0
+    pos = (centers_hz - ccenters[0]) / GD_BAND_HZ  # fractional coarse index
+    return jnp.clip(lerp_cols(a_coarse, pos[None, :].repeat(nf, 0)), 0.0, 1.0)

@@ -205,7 +205,22 @@ def world_analyze_core(
         wav, f0, fs, hop, nm_size, min(f0_min, 60.0),
         valley_smooth=ap.nm_valley_smooth, vuv=vuv, ap=ap,
     )
-    bap = erode5(nm_raw)
+    if ap.bap_method == "d4c_gd":
+        # D4C-family group-delay statistic for the bap STREAM (the
+        # reference's VocoderWORLD uses pyworld's D4C here); nm_raw keeps
+        # feeding the noise-band spectral smoothing gate below, which is a
+        # rendering detail, not part of the feature schema
+        from percivaltts_tpu.ops.aperiodicity import group_delay_aperiodicity
+
+        bap = erode5(
+            group_delay_aperiodicity(
+                wav, f0, fs, hop, nm_size, min(f0_min, 60.0), vuv=vuv, ap=ap
+            )
+        )
+    elif ap.bap_method == "peak_valley":
+        bap = erode5(nm_raw)
+    else:
+        raise ValueError(f"unknown AnalysisParams.bap_method: {ap.bap_method}")
     bap = jnp.where(vuv[:, None] > 0.5, bap, 1.0)
 
     # noise-band spectral smoothing, identical to the PML analyzer

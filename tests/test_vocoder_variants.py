@@ -496,3 +496,120 @@ def test_ps_shift_conventions():
         jnp.asarray(sig), track, FS, HOP, 17, 60.0, vuv=vuv, ap=nm_only
     )
     assert not np.array_equal(np.asarray(m_base), np.asarray(m_nm))
+
+
+# --- D4C-family group-delay band aperiodicity (AnalysisParams.bap_method) ---
+#
+# Oracle tests on known harmonic+noise mixtures for the second, independent
+# estimator family (ops/aperiodicity.py::group_delay_aperiodicity — the
+# algorithm family of pyworld's D4C, which the reference's VocoderWORLD
+# uses for its bap stream [mount empty]). The two families cross-check:
+# peak/valley reads per-bin power ratios, group-delay reads the phase
+# statistics, so a bug in one cannot hide in the other.
+
+
+def _estimate_gd(x, f0, num_bands=33):
+    import jax.numpy as jnp
+
+    from percivaltts_tpu.ops.aperiodicity import group_delay_aperiodicity
+
+    nf = len(x) // HOP
+    track = jnp.full((nf,), float(f0), jnp.float32)
+    vuv = jnp.ones((nf,), jnp.float32)
+    b = np.asarray(
+        group_delay_aperiodicity(jnp.asarray(x), track, FS, HOP, num_bands, 60.0, vuv=vuv)
+    )
+    return b[nf // 4 : 3 * nf // 4].mean(axis=0)  # steady-state interior
+
+
+def test_gd_aperiodicity_pure_harmonic_floor():
+    """A clean harmonic signal must read ~0 in every band: the group delay
+    at energy-bearing bins is the window's constant centroid, so its
+    energy-weighted variance sits at the measured GD_FLOOR. Measured
+    0.0014/0.0061 at f0 100/250; gated 0.02."""
+    for f0 in (100.0, 250.0):
+        x = _harmonic_noise_mix(f0, 0.1, lambda f: np.zeros_like(f), seed=1)
+        b = _estimate_gd(x, f0)
+        assert b.max() < 0.02, (f0, b.max())
+
+
+@pytest.mark.slow
+def test_gd_aperiodicity_uniform_mixtures_match_known_fractions():
+    """White noise + constant-amplitude harmonics: interior bands must read
+    the analytic noise fraction through the inverted mixture law
+    (1-(1-r')^(1/GD_MIX_EXP)). Measured max errors 0.007-0.071 for true
+    fractions 0.04-0.67 (gated 0.10); the saturated regime compresses —
+    true 0.833 reads -0.18 low (gated 0.25) — the same coarse-at-high-
+    aperiodicity behavior as D4C itself (the harmonic phase reference
+    drowns, so the statistic loses contrast near 1)."""
+    from percivaltts_tpu.ops.warp import _band_centers_hz
+
+    centers = np.asarray(_band_centers_hz(33, FS))
+    for f0 in (100.0, 250.0):
+        for N0, tol in ((1e-6, 0.10), (1e-5, 0.10), (5e-5, 0.25)):
+            x = _harmonic_noise_mix(f0, 0.1, lambda f: np.full_like(f, N0), seed=3)
+            b = _estimate_gd(x, f0)
+            true = _true_frac(N0, f0, 0.1)
+            # interior: above the lowest coarse band's edge effects, below
+            # the top band
+            sel = (centers > f0 + 500) & (centers < FS / 2 - 2 * f0)
+            err = np.abs(b[sel] - true)
+            assert err.max() < tol, (f0, N0, true, b[sel])
+
+
+@pytest.mark.slow
+def test_gd_aperiodicity_coarse_band_localization():
+    """Noise confined to 2-3 kHz: the statistic needs many bins to converge,
+    so it reports COARSE (GD_BAND_HZ-wide) bands by design — the noise
+    feature dilutes into its 2 kHz host band (reads ~0.28 for a half-band
+    feature whose band-averaged true fraction is ~0.38) instead of
+    resolving to harmonic intervals like the peak/valley reader
+    (test_aperiodicity_localizes_concentrated_noise). Bands away from the
+    feature must still read ~0."""
+    from percivaltts_tpu.ops.warp import _band_centers_hz
+
+    f0, N0 = 150.0, 2e-5
+    x = _harmonic_noise_mix(
+        f0, 0.1, lambda f: np.where((f > 2000) & (f < 3000), N0, 0.0), seed=5
+    )
+    b = _estimate_gd(x, f0)
+    centers = np.asarray(_band_centers_hz(33, FS))
+    inside = (centers >= 2200) & (centers <= 2800)
+    below = (centers >= 200) & (centers <= 1000)
+    above = (centers >= 5500) & (centers <= 7500)
+    assert b[inside].mean() > 0.20, b[inside].mean()
+    assert b[below].max() < 0.05, b[below].max()
+    assert b[above].max() < 0.05, b[above].max()
+    assert b[inside].mean() > 4 * max(b[below].max(), b[above].max())
+
+
+def test_world_bap_method_d4c_gd():
+    """AnalysisParams.bap_method='d4c_gd' swaps WORLD's bap stream to the
+    group-delay estimator: schema unchanged, finite, unvoiced frames read
+    1.0, the stream genuinely differs from the peak/valley default, and an
+    unknown method name raises."""
+    import dataclasses
+
+    from percivaltts_tpu.config import AnalysisParams, VocoderConfig
+
+    x = _voiced_signal()
+    cfg_pv = VocoderConfig(kind="world", fs=FS, spec_size=65, nm_size=17)
+    cfg_gd = dataclasses.replace(
+        cfg_pv, analysis=dataclasses.replace(cfg_pv.analysis, bap_method="d4c_gd")
+    )
+    f_pv = get_vocoder(cfg_pv).analyze(x)
+    f_gd = get_vocoder(cfg_gd).analyze(x)
+    assert f_gd.shape == f_pv.shape
+    assert np.isfinite(f_gd).all()
+    sl = slice(2 + 65, 2 + 65 + 17)  # bap stream
+    vuv = f_gd[:, 1] > 0.5
+    assert np.allclose(f_gd[~vuv, sl], 1.0)
+    assert not np.allclose(f_gd[vuv, sl], f_pv[vuv, sl])
+    # non-bap streams are untouched by the bap_method switch
+    np.testing.assert_allclose(f_gd[:, : 2 + 65], f_pv[:, : 2 + 65], atol=1e-6)
+
+    cfg_bad = dataclasses.replace(
+        cfg_pv, analysis=dataclasses.replace(cfg_pv.analysis, bap_method="nope")
+    )
+    with pytest.raises(ValueError, match="bap_method"):
+        get_vocoder(cfg_bad).analyze(x)
