@@ -3,7 +3,7 @@
 
 PYTHON ?= python
 
-.PHONY: tests tests-fast native demo bench clean
+.PHONY: tests tests-fast native demo demo-data bench clean
 
 tests:
 	$(PYTHON) -m pytest tests/ -q
@@ -16,6 +16,13 @@ tests-fast:
 
 native:
 	$(MAKE) -C native
+
+# fetch the reference's real demo corpus (slt_arctic_merlin_full) and
+# normalize it into the Merlin layout compose expects. Needs network
+# (this build environment has none — the target then prints how to
+# resume from a locally transferred archive via --archive).
+demo-data:
+	$(PYTHON) -m percivaltts_tpu.data.fetch slt_arctic_corpus
 
 demo:
 	$(PYTHON) -m percivaltts_tpu.cli demo --out demo_corpus
