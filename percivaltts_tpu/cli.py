@@ -117,6 +117,13 @@ def cmd_train(args) -> int:
         if cfg.train.trainer == "wgan" and cfg.train.measures_every > 0:
             tr["best_metric"] = "mcd_gv"
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **tr))
+        if cfg.vocoder.kind == "world" and cfg.vocoder.vuv_rule == "stream":
+            # nm-derived voicing for predicted tracks: matched soak test
+            # VUV 4.30% → 1.99% at identical MCD/GV (BASELINE.md round 4)
+            cfg = cfg.replace(
+                vocoder=dataclasses.replace(cfg.vocoder, vuv_rule="bap")
+            )
+            tr["vocoder.vuv_rule"] = "bap"
         print_log(f"preset 'production': {tr}")
     if getattr(args, "device_corpus", False):
         import dataclasses

@@ -153,6 +153,20 @@ class VocoderConfig:
     closed_loop: int = 2
     # mel-spectrogram variant (BASELINE config 4)
     mel_size: int = 80
+    # WORLD voicing decision on PREDICTED (soft) feature tracks:
+    # "stream" (default, reference-faithful: threshold the explicit vuv
+    # stream at 0.5 + clean_vuv) or "bap" (voiced where the mean of the
+    # lowest ``vuv_bap_bands`` bap bands < ``vuv_bap_threshold`` — the
+    # nm-derived rule mirroring PML's, whose end-to-end VUV error is 2–3×
+    # lower; the soft vuv stream's regression hedges through voicing
+    # releases and its 0.5 crossing lands ~4 frames early, while the bap
+    # stream carries the release tail: matched soak 4.30% → 2.02% test VUV
+    # at zero onset/offset bias, scripts/vuv_boundary_calib.py). Binary
+    # (analysis) tracks always use the explicit stream bit-exactly, so
+    # copy-synthesis and the closed loop are untouched by construction.
+    vuv_rule: str = "stream"
+    vuv_bap_bands: int = 2
+    vuv_bap_threshold: float = 0.75
     # feature-defining DSP estimator/rendering conventions (see
     # AnalysisParams) — part of the feature cache key and the workdir dump
     analysis: AnalysisParams = field(default_factory=AnalysisParams)

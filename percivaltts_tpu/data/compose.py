@@ -120,8 +120,14 @@ def compose(
         import dataclasses
         import json
 
+        voc_meta = dataclasses.asdict(cfg.vocoder)
+        # the voicing DECISION rule applies to predicted tracks at
+        # generation time only — it does not change analysis output, so
+        # flipping it must not invalidate extracted features
+        for k in ("vuv_rule", "vuv_bap_bands", "vuv_bap_threshold"):
+            voc_meta.pop(k, None)
         meta = {
-            "vocoder": dataclasses.asdict(cfg.vocoder),
+            "vocoder": voc_meta,
             "question_file": os.path.abspath(d.question_file),
             "questions_dim": questions.dim,
         }

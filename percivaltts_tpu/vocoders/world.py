@@ -397,6 +397,45 @@ def _world_closed_loop_vmapped(lf0s, vuvs, specs, baps, **kw):
 class WorldVocoder(Vocoder):
     kind = "world"
 
+    def _decide_vuv(self, feats: np.ndarray) -> np.ndarray:
+        """Voicing decision for a feature array (..., F).
+
+        Default (``vuv_rule="stream"``): threshold the explicit vuv
+        stream + ``clean_vuv`` temporal cleanup — the reference's rule.
+
+        ``vuv_rule="bap"``: on SOFT (model-predicted) tracks, voiced
+        where the mean of the lowest ``vuv_bap_bands`` bap bands is
+        below ``vuv_bap_threshold`` — the nm-derived rule mirroring
+        PML's. Measured on the matched soak (scripts/vuv_error_diag.py,
+        scripts/vuv_boundary_calib.py): the soft vuv stream's regression
+        hedges through voicing releases, its 0.5 crossing lands ~4 frames
+        early (onsets unbiased, offsets mean −3.9), and the error is 100%
+        boundary-localized in 3–4-frame runs that survive clean_vuv; the
+        predicted bap stream carries the release tail, and this rule
+        reads test VUV 4.30% → 2.02% at near-zero bias (offset −0.64).
+        Binary (analysis) tracks always use the explicit stream
+        bit-exactly, so copy-synthesis and the closed loop are untouched
+        by construction.
+        """
+        c = self.cfg
+        v = np.asarray(feats[..., 1], np.float32)
+        if c.vuv_rule == "bap":
+            soft = (v > 0.05) & (v < 0.95)
+            bap = feats[..., 2 + c.spec_size : 2 + c.spec_size + c.nm_size]
+            vb = (
+                np.mean(bap[..., : c.vuv_bap_bands], axis=-1)
+                < c.vuv_bap_threshold
+            ).astype(np.float32)
+            if v.ndim == 1:
+                if soft.any():
+                    v = vb
+            else:  # per-track gating across leading dims
+                softrow = soft.any(axis=-1)
+                v = np.where(softrow[..., None], vb, v)
+        elif c.vuv_rule != "stream":
+            raise ValueError(f"unknown VocoderConfig.vuv_rule: {c.vuv_rule!r}")
+        return clean_vuv(v)
+
     def analyze(self, wav: np.ndarray) -> np.ndarray:
         wav = self._check_wav(wav)
         c = self.cfg
@@ -428,9 +467,9 @@ class WorldVocoder(Vocoder):
         if nf == 0:
             return np.zeros((0,), np.float32)
         lf0 = feats[:, 0]
-        # the rendered gate must follow the SAME cleaned voicing f0_vuv
-        # measures (no-op for analysis features; see clean_vuv)
-        vuv = clean_vuv(feats[:, 1])
+        # the rendered gate must follow the SAME voicing decision f0_vuv
+        # measures (no-op for analysis features; see _decide_vuv)
+        vuv = self._decide_vuv(feats)
         spec = feats[:, 2 : 2 + c.spec_size]
         bap = feats[:, 2 + c.spec_size :]
 
@@ -530,7 +569,7 @@ class WorldVocoder(Vocoder):
             for j, f in enumerate(batch):
                 n = f.shape[0]
                 lf0[j, :n] = f[:, 0]
-                vuv[j, :n] = clean_vuv(f[:, 1])
+                vuv[j, :n] = self._decide_vuv(f)
                 spec[j, :n] = f[:, 2 : 2 + c.spec_size]
                 bap[j, :n] = f[:, 2 + c.spec_size :]
                 if n:  # analysis-consistent tail (see synthesize's pad)
@@ -588,7 +627,7 @@ class WorldVocoder(Vocoder):
         )
 
     def f0_vuv(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """f0 from the lf0 stream; voicing = the explicit vuv stream after
-        temporal cleanup (median-3 on soft tracks + hysteresis — see
-        ``clean_vuv``; exact no-op on binary analysis tracks)."""
-        return np.exp(feats[..., 0]), clean_vuv(feats[..., 1])
+        """f0 from the lf0 stream; voicing per the configured decision
+        rule (``VocoderConfig.vuv_rule`` — see ``_decide_vuv``; exact
+        explicit-stream pass-through on binary analysis tracks)."""
+        return np.exp(feats[..., 0]), self._decide_vuv(feats)

@@ -613,3 +613,58 @@ def test_world_bap_method_d4c_gd():
     )
     with pytest.raises(ValueError, match="bap_method"):
         get_vocoder(cfg_bad).analyze(x)
+
+
+def test_world_vuv_rule_bap():
+    """VocoderConfig.vuv_rule="bap" (VERDICT round-3 item 3, the
+    nm-derived voicing option mirroring PML's rule): on a SOFT predicted
+    track whose vuv stream crosses 0.5 early (the measured offset-early
+    hedging), the bap rule places the voicing boundary where the bap
+    stream says; binary analysis tracks pass through bit-exactly under
+    either rule; an unknown rule raises."""
+    import dataclasses
+
+    from percivaltts_tpu.config import VocoderConfig
+    from percivaltts_tpu.vocoders import get_vocoder
+
+    S, NM = 9, 5
+    cfg = VocoderConfig(kind="world", fs=FS, spec_size=S, nm_size=NM)
+    cfg_bap = dataclasses.replace(cfg, vuv_rule="bap")
+    voc_stream, voc_bap = get_vocoder(cfg), get_vocoder(cfg_bap)
+
+    # synthetic predicted features, 100 frames: truly voiced 20..60, with
+    # the soft vuv stream releasing 4 frames EARLY (0.5 crossing at 56)
+    # while the low bap bands carry the true release (cross 0.75 at 60)
+    T = 100
+    feats = np.zeros((T, 2 + S + NM), np.float32)
+    feats[:, 0] = np.log(140.0)
+    feats[:, 1] = 0.1
+    feats[20:56, 1] = 0.9
+    feats[56:60, 1] = 0.35  # the hedged early release
+    feats[:, 2 : 2 + S] = -8.0
+    feats[:, 2 + S :] = 0.95  # noise everywhere...
+    feats[20:60, 2 + S : 2 + S + 3] = 0.2  # ...except low bands while voiced
+
+    _, v_stream = voc_stream.f0_vuv(feats)
+    _, v_bap = voc_bap.f0_vuv(feats)
+    # stream rule ends voicing at the early 0.5 crossing; bap at the truth
+    assert np.flatnonzero(v_stream > 0.5).max() == 55
+    assert np.flatnonzero(v_bap > 0.5).max() == 59
+    assert np.flatnonzero(v_bap > 0.5).min() == 20  # onset unchanged
+
+    # binary analysis track: both rules return the explicit stream exactly
+    fb = feats.copy()
+    fb[:, 1] = (fb[:, 1] > 0.5).astype(np.float32)
+    for voc in (voc_stream, voc_bap):
+        _, v = voc.f0_vuv(fb)
+        np.testing.assert_array_equal(v, fb[:, 1])
+
+    # batched (B, T, F) gating: a binary row and a soft row in one call
+    both = np.stack([fb, feats])
+    _, vb = voc_bap.f0_vuv(both)
+    np.testing.assert_array_equal(vb[0], fb[:, 1])
+    assert np.flatnonzero(vb[1] > 0.5).max() == 59
+
+    cfg_bad = dataclasses.replace(cfg, vuv_rule="nope")
+    with pytest.raises(ValueError, match="vuv_rule"):
+        get_vocoder(cfg_bad).f0_vuv(feats)
