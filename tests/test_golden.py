@@ -54,3 +54,26 @@ def test_pml_features_match_golden_harmonic():
     # pins the production DEFAULT analysis path (harmonic envelope +
     # psync-4 aperiodicity), added round-3 session 7
     _check(GOLDEN_H, "harmonic")
+
+
+GOLDEN_W_GD = os.path.join(
+    os.path.dirname(__file__), "golden", "world_features_d4c_gd.npz"
+)
+
+
+def test_world_features_match_golden_d4c_gd():
+    """Pins the D4C-family group-delay bap estimator's conventions
+    (AnalysisParams.bap_method="d4c_gd", added round 4) on the same
+    deterministic fixture signal as the PML goldens."""
+    import dataclasses
+
+    z = np.load(GOLDEN_W_GD)
+    wav, expected = z["wav"], z["feats"]
+    cfg = VocoderConfig(kind="world", fs=16000, spec_size=33, nm_size=17)
+    cfg = dataclasses.replace(
+        cfg, analysis=dataclasses.replace(cfg.analysis, bap_method="d4c_gd")
+    )
+    feats = get_vocoder(cfg).analyze(wav)
+    assert feats.shape == expected.shape
+    np.testing.assert_allclose(feats[:, 0], expected[:, 0], atol=1e-3)
+    np.testing.assert_allclose(feats[:, 1:], expected[:, 1:], atol=5e-3)
