@@ -95,6 +95,32 @@ def cmd_compose(args) -> int:
     return 0
 
 
+def apply_preset(cfg: Configuration, name: str) -> Configuration:
+    """Overlay a measured-best settings bundle on a config (sweep
+    provenance in BASELINE.md): EMA'd generator weights for eval/export
+    (test MCD 7.52 → 7.01 at equal budget), HBM-resident corpus, GV-aware
+    best-checkpoint selection for measured WGAN runs (pure MCD
+    anti-selects the adversarial objective), and — for WORLD runs — the
+    nm-derived voicing rule (matched soak test VUV 4.30% → 1.99% at
+    identical MCD/GV). Analysis defaults (psync-4, closed_loop=2) and
+    critic_norm="none" are already the config defaults."""
+    if name != "production":
+        raise ValueError(f"unknown preset: {name!r}")
+    import dataclasses
+
+    tr = dict(ema_decay=0.995, device_corpus=True)
+    if cfg.train.trainer == "wgan" and cfg.train.measures_every > 0:
+        tr["best_metric"] = "mcd_gv"
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, **tr))
+    if cfg.vocoder.kind == "world" and cfg.vocoder.vuv_rule == "stream":
+        cfg = cfg.replace(
+            vocoder=dataclasses.replace(cfg.vocoder, vuv_rule="bap")
+        )
+        tr["vocoder.vuv_rule"] = "bap"
+    print_log(f"preset {name!r}: {tr}")
+    return cfg
+
+
 def cmd_train(args) -> int:
     if getattr(args, "distributed", False):
         from percivaltts_tpu.parallel import distributed as dist
@@ -103,28 +129,8 @@ def cmd_train(args) -> int:
         print_log(f"distributed runtime: {dist.process_info()}")
         args.mesh = True
     cfg = _load_config(args.config)
-    if getattr(args, "preset", None) == "production":
-        import dataclasses
-
-        # the measured-best bundle (sweep provenance in BASELINE.md): EMA'd
-        # generator weights for eval/export (test MCD 7.52 → 7.01 at equal
-        # budget), HBM-resident corpus, and — for WGAN runs with measures
-        # enabled — GV-aware best-checkpoint selection (pure MCD anti-selects
-        # the adversarial objective). Analysis defaults (psync-4,
-        # closed_loop=2) and critic_norm="none" are already the config
-        # defaults.
-        tr = dict(ema_decay=0.995, device_corpus=True)
-        if cfg.train.trainer == "wgan" and cfg.train.measures_every > 0:
-            tr["best_metric"] = "mcd_gv"
-        cfg = cfg.replace(train=dataclasses.replace(cfg.train, **tr))
-        if cfg.vocoder.kind == "world" and cfg.vocoder.vuv_rule == "stream":
-            # nm-derived voicing for predicted tracks: matched soak test
-            # VUV 4.30% → 1.99% at identical MCD/GV (BASELINE.md round 4)
-            cfg = cfg.replace(
-                vocoder=dataclasses.replace(cfg.vocoder, vuv_rule="bap")
-            )
-            tr["vocoder.vuv_rule"] = "bap"
-        print_log(f"preset 'production': {tr}")
+    if getattr(args, "preset", None):
+        cfg = apply_preset(cfg, args.preset)
     if getattr(args, "device_corpus", False):
         import dataclasses
 

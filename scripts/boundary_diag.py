@@ -39,6 +39,8 @@ def analysis_from_env() -> AnalysisParams:
             kw[f.name] = v not in ("0", "")
         elif f.type in ("int", int):
             kw[f.name] = int(v)
+        elif f.type in ("str", str):
+            kw[f.name] = v
         else:
             kw[f.name] = float(v)
     return AnalysisParams(**kw)

@@ -31,7 +31,16 @@ def main(
     corpus = os.path.join(root, "corpus")
     if not os.path.isdir(os.path.join(corpus, "wav")):
         generate_demo_corpus(
-            corpus, num_utterances=n_utts, fs=16000, seed=777, hard=bool(hard)
+            corpus,
+            num_utterances=n_utts,
+            fs=16000,
+            seed=777,
+            hard=bool(hard),
+            # the most slt-arctic-like regime (speaker f0 + realization
+            # jitter) for production-recipe demonstrations; 0/0 = the
+            # classic friendly soak corpus
+            jitter=float(os.environ.get("JITTER", "0")),
+            speaker_f0=float(os.environ.get("SPK_F0", "0")),
         )
 
     cfg = Configuration(
@@ -97,6 +106,9 @@ def main(
         split = "test"
         no_wav = False
         save_features = False
+        # PRESET=production drives the documented recommended recipe
+        # (cli train --preset production) end-to-end at soak scale
+        preset = os.environ.get("PRESET") or None
 
     os.makedirs(cfg.workdir, exist_ok=True)
     cfgpath = os.path.join(cfg.workdir, "config.json")

@@ -215,3 +215,33 @@ def test_train_preset_production(corpus, tmp_path):
     with open(os.path.join(workdir, "measures.json")) as f:
         m = json.load(f)
     assert np.isfinite(m["mcd_db"])
+
+
+def test_apply_preset_world_vuv_rule():
+    """The production preset flips WORLD runs to the nm-derived voicing
+    rule (vuv_rule='bap', measured 4.30% → 1.99% test VUV) while leaving
+    PML configs' vocoder untouched and respecting an explicit user
+    choice; unknown preset names raise."""
+    import dataclasses
+
+    from percivaltts_tpu.cli import apply_preset
+    from percivaltts_tpu.config import Configuration, VocoderConfig
+
+    base = Configuration()
+    world = base.replace(vocoder=VocoderConfig(kind="world"))
+    eff = apply_preset(world, "production")
+    assert eff.vocoder.vuv_rule == "bap"
+    assert eff.train.ema_decay == 0.995
+
+    pml = apply_preset(base, "production")
+    assert pml.vocoder == base.vocoder  # PML vocoder untouched
+
+    # an explicit user setting survives the overlay
+    explicit = world.replace(
+        vocoder=dataclasses.replace(world.vocoder, vuv_rule="bap",
+                                    vuv_bap_threshold=0.6)
+    )
+    assert apply_preset(explicit, "production").vocoder.vuv_bap_threshold == 0.6
+
+    with pytest.raises(ValueError, match="preset"):
+        apply_preset(base, "nope")
