@@ -76,11 +76,17 @@ class AnalysisParams:
     # radius 3 measured worse (analysis-pair desynchronization, pml.py)
     nm_valley_smooth: int = 0
     # band-aperiodicity estimator for the WORLD vocoder's bap stream:
-    # "peak_valley" (default — the shared exact-bin reader) or "d4c_gd"
-    # (the D4C algorithm family: energy-weighted group-delay variance per
-    # coarse band — see ops/aperiodicity.py::group_delay_aperiodicity;
-    # reference: pyworld D4C in percivaltts/vocoders.py [mount empty])
-    bap_method: str = "peak_valley"
+    # "d4c_gd" (default — the D4C algorithm family the reference's
+    # VocoderWORLD uses via pyworld: energy-weighted group-delay variance
+    # per coarse band, ops/aperiodicity.py::group_delay_aperiodicity) or
+    # "peak_valley" (the shared exact-bin reader). Default flipped to
+    # d4c_gd in round 4 on a 4-corpus copy-synthesis A/B: mean incl.
+    # flips 4.42/4.57/4.27/6.15 → 4.17/4.27/4.03/6.00 (seeds 1234/777/
+    # held-out 42/hard — wins everywhere), flips 25/18/22/42 →
+    # 23/21/22/47 (net +6 per ~10k frames, all boundary dist 0-1);
+    # end-to-end training quality confirmed by the round-4 WORLD soak
+    # under the new default (BASELINE.md)
+    bap_method: str = "d4c_gd"
 
     # --- rendered attack/release gate (vocoders/pml.py synthesis) ---
     # window-power-fraction at which the rendered attack/release switches on
@@ -164,9 +170,14 @@ class VocoderConfig:
     # at zero onset/offset bias, scripts/vuv_boundary_calib.py). Binary
     # (analysis) tracks always use the explicit stream bit-exactly, so
     # copy-synthesis and the closed loop are untouched by construction.
+    # Band/threshold defaults are calibrated (valid-split sweep, bands ∈
+    # {1..6} × θ ∈ [0.2,0.9]) for the DEFAULT d4c_gd bap stream: 4 bands
+    # < 0.60 → matched-soak test VUV 1.07% (beats PML's 1.8%), offset
+    # bias +0.24 frames. For bap_method="peak_valley" the measured-best
+    # rule is 2 bands < 0.75 (test 1.99%).
     vuv_rule: str = "stream"
-    vuv_bap_bands: int = 2
-    vuv_bap_threshold: float = 0.75
+    vuv_bap_bands: int = 4
+    vuv_bap_threshold: float = 0.60
     # feature-defining DSP estimator/rendering conventions (see
     # AnalysisParams) — part of the feature cache key and the workdir dump
     analysis: AnalysisParams = field(default_factory=AnalysisParams)

@@ -593,9 +593,13 @@ def test_world_bap_method_d4c_gd():
     from percivaltts_tpu.config import AnalysisParams, VocoderConfig
 
     x = _voiced_signal()
-    cfg_pv = VocoderConfig(kind="world", fs=FS, spec_size=65, nm_size=17)
+    base = VocoderConfig(kind="world", fs=FS, spec_size=65, nm_size=17)
+    # both arms explicit (the DEFAULT is d4c_gd since the round-4 flip)
+    cfg_pv = dataclasses.replace(
+        base, analysis=dataclasses.replace(base.analysis, bap_method="peak_valley")
+    )
     cfg_gd = dataclasses.replace(
-        cfg_pv, analysis=dataclasses.replace(cfg_pv.analysis, bap_method="d4c_gd")
+        base, analysis=dataclasses.replace(base.analysis, bap_method="d4c_gd")
     )
     f_pv = get_vocoder(cfg_pv).analyze(x)
     f_gd = get_vocoder(cfg_gd).analyze(x)
