@@ -87,6 +87,25 @@ class AnalysisParams:
     # end-to-end training quality confirmed by the round-4 WORLD soak
     # under the new default (BASELINE.md)
     bap_method: str = "d4c_gd"
+    # noise-mask estimator for the PML vocoder's nm STREAM: "d4c_gd"
+    # (default — the group-delay statistic) or "peak_valley" (the
+    # harmonic-interval exact-bin reader). Default flipped round 4: the
+    # 4-corpus same-session copy-synthesis A/B improves BOTH mean and
+    # flips on every corpus incl. held-out (4.39/4.56/4.27/6.09 →
+    # 4.17/4.27/4.03/6.00; flips 40/37/39/61 → 23/20/22/47) — the first
+    # estimator change to beat the round-3 plateau, and a direct
+    # confirmation of the recorded consistency-over-accuracy principle:
+    # the smoother statistic reads more repeatably across the closed
+    # loop's two analyses, and PML's nm also carries its voicing
+    # decision, so flips drop with it. The spec noise-smoothing gate
+    # always uses the peak/valley reading either way (a rendering detail,
+    # not feature schema).
+    nm_method: str = "d4c_gd"
+    # coarse-band width (Hz) of the group-delay statistic (d4c_gd). D4C
+    # uses 3 kHz bands at fs≥16k; 2000 is the oracle-calibrated default
+    # (≥60 bins/band at PS_N=2048). In AnalysisParams (not a module
+    # global) so sweeps re-trace and the config records the convention.
+    gd_band_hz: float = 2000.0
 
     # --- rendered attack/release gate (vocoders/pml.py synthesis) ---
     # window-power-fraction at which the rendered attack/release switches on

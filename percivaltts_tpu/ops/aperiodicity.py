@@ -547,7 +547,7 @@ def harmonic_envelope(
 # τ(m) = Re(X_d(m)·conj(X(m)))/|X(m)|² where X_d is the rfft of the
 # time-weighted frame ((n−N/2)·w(n)·x(n)) — the standard derivative-of-
 # phase identity, no unwrapping, no data-dependent control flow. Band
-# aggregation follows D4C's coarse-band design (GD_BAND_HZ-wide linear
+# aggregation follows D4C's coarse-band design (ap.gd_band_hz-wide linear
 # bands; the statistic needs many bins to converge, which is exactly why
 # D4C reports coarse bands), then expands to the warped band axis by
 # linear interpolation between coarse-band centers.
@@ -555,7 +555,8 @@ def harmonic_envelope(
 # Coarse-band width (Hz). D4C uses 3 kHz bands at fs=16k+ (boundaries
 # 3/6/... kHz); 2 kHz here reads slightly finer structure at the same
 # statistic quality on the oracle mixtures (>= 60 bins/band at PS_N=2048).
-GD_BAND_HZ = 2000.0
+# (coarse-band width lives in AnalysisParams.gd_band_hz — a convention,
+# so the config system records it and sweeps re-trace; 2000.0 default)
 
 # Measured calibration of the statistic (CPU, synthetic mixtures via the
 # tests/test_vocoder_variants.py harness; constants are physics-of-the-
@@ -619,8 +620,9 @@ def group_delay_aperiodicity(
         fbin < jnp.minimum(fs / 2.0, cap_hz[:, None])
     )
 
-    n_coarse = max(int(math.ceil((fs / 2.0) / GD_BAND_HZ)), 1)
-    edges = jnp.arange(n_coarse + 1, dtype=jnp.float32) * GD_BAND_HZ
+    band_hz = float(ap.gd_band_hz)
+    n_coarse = max(int(math.ceil((fs / 2.0) / band_hz)), 1)
+    edges = jnp.arange(n_coarse + 1, dtype=jnp.float32) * band_hz
     a_coarse = []
     for b in range(n_coarse):
         m = usable & (fbin >= edges[b]) & (fbin < edges[b + 1])
@@ -640,5 +642,5 @@ def group_delay_aperiodicity(
     # band centers (D4C's own expansion when writing per-bin aperiodicity)
     centers_hz = jnp.asarray(_band_centers_hz(num_bands, fs), jnp.float32)
     ccenters = (edges[:-1] + edges[1:]) / 2.0
-    pos = (centers_hz - ccenters[0]) / GD_BAND_HZ  # fractional coarse index
+    pos = (centers_hz - ccenters[0]) / band_hz  # fractional coarse index
     return jnp.clip(lerp_cols(a_coarse, pos[None, :].repeat(nf, 0)), 0.0, 1.0)

@@ -245,7 +245,25 @@ def pml_analyze_core(
             wav, f0, fs, hop, nm_size, min(f0_min, 60.0),
             valley_smooth=ap.nm_valley_smooth, vuv=vuv, ap=ap,
         )
-        nm = _erode5(nm_raw)
+        if ap.nm_method == "d4c_gd":
+            # group-delay estimator for the nm STREAM (probe arm; the gate
+            # below keeps the peak/valley reading — a rendering detail)
+            from percivaltts_tpu.ops.aperiodicity import (
+                group_delay_aperiodicity as _gd_ap,
+            )
+
+            nm = _erode5(
+                _gd_ap(
+                    wav, f0, fs, hop, nm_size, min(f0_min, 60.0),
+                    vuv=vuv, ap=ap,
+                )
+            )
+        elif ap.nm_method == "peak_valley":
+            nm = _erode5(nm_raw)
+        else:
+            raise ValueError(
+                f"unknown AnalysisParams.nm_method: {ap.nm_method!r}"
+            )
         # gate on the ERODED noisiness: the raw aperiodicity spikes on
         # voiced attack/release frames (its 4·T0 window straddles the edge
         # and reads the transient as noise), and a spiky gate mixes

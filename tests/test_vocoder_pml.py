@@ -140,15 +140,19 @@ def test_copy_synthesis_mcd_demo_corpus(voc, tmp_path):
     this 4-utt fixture (harmonic envelope + boundary rendering +
     closed-loop synthesis with damped boundary corrections + the f0
     sub-period rescue family + analysis-consistent feature padding;
-    4.48/2.69 with the closed_loop=2 default and its low-band freeze).
+    4.48/2.69 with the closed_loop=2 default and its low-band freeze;
+    round 4 measures **4.28/2.18** at this fixture's spec65/nm33 under
+    the d4c_gd nm default, vs 4.45/2.45 for peak_valley same-session —
+    at the production diag resolution (spec33/nm17) the d4c win is much
+    larger, 3.18/1.69, with flips nearly halved).
     Gates at measured +15% (VERDICT round-2 weak 2: track measured,
     don't double)."""
     from percivaltts_tpu.data.demo import generate_demo_corpus
 
     ids = generate_demo_corpus(str(tmp_path), num_utterances=4, fs=FS, seed=1234)
     pf = _copy_synth_per_frame_mcd(voc, str(tmp_path), ids)
-    assert pf.mean() < 5.15, pf.mean()
-    assert np.median(pf) < 3.1, np.median(pf)
+    assert pf.mean() < 4.92, pf.mean()
+    assert np.median(pf) < 2.51, np.median(pf)
 
 
 @pytest.mark.slow
@@ -157,15 +161,19 @@ def test_copy_synthesis_mcd_hard_corpus(voc, tmp_path):
     wide f0 down to ~62 Hz, amplitude dynamics — VERDICT round-2 item 4).
     Measured 6.33 mean / 3.30 median with closed-loop synthesis (damped
     boundary corrections, closed_loop=2 low-band-frozen second pass);
-    gates at +15%."""
+    round 4 measures **6.83/3.02** at this fixture's spec65/nm33 under
+    the d4c_gd nm default (peak_valley same-session: 6.73/3.23 — the one
+    configuration where d4c costs ~0.1 mean, documented in BASELINE.md;
+    at spec33/nm17 d4c measures 4.91/2.32 and wins everywhere); gates at
+    +15%."""
     from percivaltts_tpu.data.demo import generate_demo_corpus
 
     ids = generate_demo_corpus(
         str(tmp_path), num_utterances=4, fs=FS, seed=1234, hard=True
     )
     pf = _copy_synth_per_frame_mcd(voc, str(tmp_path), ids)
-    assert pf.mean() < 7.3, pf.mean()
-    assert np.median(pf) < 3.8, np.median(pf)
+    assert pf.mean() < 7.85, pf.mean()
+    assert np.median(pf) < 3.47, np.median(pf)
 
 
 @pytest.mark.slow
