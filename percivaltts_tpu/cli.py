@@ -100,9 +100,11 @@ def apply_preset(cfg: Configuration, name: str) -> Configuration:
     provenance in BASELINE.md): EMA'd generator weights for eval/export
     (test MCD 7.52 → 7.01 at equal budget), HBM-resident corpus, GV-aware
     best-checkpoint selection for measured WGAN runs (pure MCD
-    anti-selects the adversarial objective), and — for WORLD runs — the
+    anti-selects the adversarial objective), for WORLD runs the
     nm-derived voicing rule (matched soak test VUV 4.30% → 1.99% at
-    identical MCD/GV). Analysis defaults (psync-4, closed_loop=2) and
+    identical MCD/GV), and for PML runs the prediction-path voicing
+    calibration for the d4c_gd nm stream (test VUV 2.69% → 0.95% on the
+    same checkpoint). Analysis defaults (psync-4, closed_loop=2) and
     critic_norm="none" are already the config defaults."""
     if name != "production":
         raise ValueError(f"unknown preset: {name!r}")
@@ -117,6 +119,15 @@ def apply_preset(cfg: Configuration, name: str) -> Configuration:
             vocoder=dataclasses.replace(cfg.vocoder, vuv_rule="bap")
         )
         tr["vocoder.vuv_rule"] = "bap"
+    if cfg.vocoder.kind == "pml" and cfg.vocoder.vuv_pred_threshold is None:
+        # prediction-path voicing calibrated for the d4c_gd nm stream
+        # (matched soak test VUV 2.69% → 0.95%; see VocoderConfig)
+        cfg = cfg.replace(
+            vocoder=dataclasses.replace(
+                cfg.vocoder, vuv_pred_low_frac=0.65, vuv_pred_threshold=0.60
+            )
+        )
+        tr["vocoder.vuv_pred"] = "0.65/0.60"
     print_log(f"preset {name!r}: {tr}")
     return cfg
 
@@ -346,7 +357,7 @@ def cmd_measures(args) -> int:
         n = min(len(ref), len(pred))
         mcds.append(float(mcd(voc.cepstra(pred[:n]), voc.cepstra(ref[:n]))))
         try:
-            f0p, vp = voc.f0_vuv(pred[:n])
+            f0p, vp = voc.f0_vuv_pred(pred[:n])
             f0r, vr = voc.f0_vuv(ref[:n])
             f0s.append(float(f0_rmse(f0p, f0r, vp, vr)))
             vuvs.append(float(vuv_error(vp, vr)))

@@ -197,6 +197,20 @@ class VocoderConfig:
     vuv_rule: str = "stream"
     vuv_bap_bands: int = 4
     vuv_bap_threshold: float = 0.60
+    # PML prediction-path voicing rule override (None = the analysis rule,
+    # AnalysisParams.vuv_low_frac/vuv_threshold — reference-faithful).
+    # The analysis rule was calibrated on ANALYSIS nm tracks; the model's
+    # PREDICTED d4c_gd nm stream sits lower through voicing releases, so
+    # the 0.25/0.75 rule over-voices release tails: on the matched round-4
+    # soak the valid-chosen rule (lowest 65% of nm bands < 0.60; the error
+    # surface is flat in the band count, threshold dominates) reads test
+    # VUV 2.69% → 0.95% on the same checkpoint (valid 2.72% → 0.85%;
+    # /tmp/soak_pml_d4c sweep, scripts/pml_vuv_calib.py). Decision-path
+    # only: analysis, copy-synthesis and the in-jit synthesis gates are
+    # untouched (f0_vuv_pred vs f0_vuv), so these knobs correctly do NOT
+    # invalidate the feature cache. Production preset sets them for PML.
+    vuv_pred_low_frac: Optional[float] = None
+    vuv_pred_threshold: Optional[float] = None
     # feature-defining DSP estimator/rendering conventions (see
     # AnalysisParams) — part of the feature cache key and the workdir dump
     analysis: AnalysisParams = field(default_factory=AnalysisParams)

@@ -87,7 +87,7 @@ def generate(
         cep_p_all.append(np.asarray(ceps[2 * i][:n]))
         cep_r_all.append(np.asarray(ceps[2 * i + 1][:n]))
         try:
-            f0p, vp = voc.f0_vuv(preds[i][: ns[i]])
+            f0p, vp = voc.f0_vuv_pred(preds[i][: ns[i]])
             f0r, vr = voc.f0_vuv(refs[i][: ns[i]])
             both = (vp > 0.5) & (vr > 0.5)
             if both.any():

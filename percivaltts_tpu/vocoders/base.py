@@ -122,6 +122,17 @@ class Vocoder:
         """Extract (f0_hz, vuv) tracks for F0-RMSE / VUV-error measures."""
         raise NotImplementedError
 
+    def f0_vuv_pred(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """``f0_vuv`` for MODEL-PREDICTED feature tracks. Defaults to the
+        analysis rule; vocoders may override it with a prediction-side
+        calibration (``VocoderConfig.vuv_pred_*`` for PML — the predicted
+        nm stream's distribution differs from analysis tracks', so the
+        analysis threshold misplaces voicing boundaries; WORLD handles the
+        analogous gap inside ``f0_vuv`` via its soft-track ``vuv_rule``).
+        Generation/measures call this on the predicted side only — the
+        reference side always uses the analysis rule."""
+        return self.f0_vuv(feats)
+
     def cepstra(self, feats: np.ndarray, order: int = 25) -> np.ndarray:
         """Extract MCD-ready cepstra from the spectral stream. ``order``
         defaults to the standard mel-cepstral order (c0..c24) so MCD numbers

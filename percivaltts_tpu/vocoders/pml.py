@@ -1203,3 +1203,23 @@ class PMLVocoder(Vocoder):
             _vuv_low_bands(nm, ap).mean(axis=-1) < ap.vuv_threshold
         ).astype(np.float32)
         return np.exp(lf0), vuv
+
+    def f0_vuv_pred(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Voicing for MODEL-PREDICTED tracks under the prediction-side
+        rule (``VocoderConfig.vuv_pred_low_frac``/``vuv_pred_threshold``;
+        None = the analysis rule). The predicted d4c_gd nm stream sits
+        lower through voicing releases than analysis tracks, so the
+        analysis threshold (0.75 on the lowest 25% of bands) over-voices
+        release tails — the round-4 matched-soak calibration (lowest 65%
+        < 0.60, valid-chosen) reads test VUV 2.69% → 0.95% on the same
+        checkpoint. Analysis/copy-synthesis paths never call this."""
+        c = self.cfg
+        if c.vuv_pred_low_frac is None and c.vuv_pred_threshold is None:
+            return self.f0_vuv(feats)
+        ap = c.analysis
+        frac = c.vuv_pred_low_frac if c.vuv_pred_low_frac is not None else ap.vuv_low_frac
+        th = c.vuv_pred_threshold if c.vuv_pred_threshold is not None else ap.vuv_threshold
+        nm = self.stream(feats, "nm")
+        k = max(int(nm.shape[-1] * frac), 1)
+        vuv = (nm[..., :k].mean(axis=-1) < th).astype(np.float32)
+        return np.exp(self.stream(feats, "f0")[..., 0]), vuv

@@ -234,7 +234,12 @@ def test_apply_preset_world_vuv_rule():
     assert eff.train.ema_decay == 0.995
 
     pml = apply_preset(base, "production")
-    assert pml.vocoder == base.vocoder  # PML vocoder untouched
+    # PML runs get the prediction-path voicing calibration (test VUV
+    # 2.69% → 0.95% on the matched d4c soak); analysis rule untouched
+    assert pml.vocoder.vuv_pred_low_frac == 0.65
+    assert pml.vocoder.vuv_pred_threshold == 0.60
+    assert pml.vocoder.analysis == base.vocoder.analysis
+    assert pml.vocoder.vuv_rule == base.vocoder.vuv_rule
 
     # an explicit user setting survives the overlay
     explicit = world.replace(
@@ -242,6 +247,12 @@ def test_apply_preset_world_vuv_rule():
                                     vuv_bap_threshold=0.6)
     )
     assert apply_preset(explicit, "production").vocoder.vuv_bap_threshold == 0.6
+    explicit_pml = base.replace(
+        vocoder=dataclasses.replace(base.vocoder, vuv_pred_threshold=0.5)
+    )
+    eff_pml = apply_preset(explicit_pml, "production")
+    assert eff_pml.vocoder.vuv_pred_threshold == 0.5
+    assert eff_pml.vocoder.vuv_pred_low_frac is None
 
     with pytest.raises(ValueError, match="preset"):
         apply_preset(base, "nope")

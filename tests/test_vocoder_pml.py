@@ -214,3 +214,47 @@ def test_closed_loop_beats_open_loop(tmp_path):
     pf_o = _copy_synth_per_frame_mcd(open_, str(tmp_path), ids)
     assert pf_c.mean() < pf_o.mean() - 0.5, (pf_c.mean(), pf_o.mean())
     assert np.median(pf_c) < np.median(pf_o) - 0.5
+
+
+def test_f0_vuv_pred_rule_override():
+    """VocoderConfig.vuv_pred_low_frac/vuv_pred_threshold (round 4): the
+    prediction-path voicing rule override for model-predicted tracks —
+    the predicted d4c_gd nm stream sits lower through voicing releases
+    than analysis tracks, so the analysis threshold (0.25/0.75)
+    over-voices release tails (matched-soak calibration: lowest 65% of
+    bands < 0.60 reads test VUV 2.69% → 0.95%, scripts/pml_vuv_calib.py).
+    f0_vuv (the analysis rule) must be untouched by the knobs, and
+    f0_vuv_pred without knobs must equal f0_vuv."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, vuv_pred_low_frac=0.65, vuv_pred_threshold=0.60
+    )
+    voc_d, voc_p = get_vocoder(CFG), get_vocoder(cfg)
+
+    # synthetic predicted track, 60 frames: a voiced run whose low nm
+    # bands ramp through a release tail — the analysis rule (lowest 25%
+    # < 0.75) releases at the 0.75 crossing, the calibrated prediction
+    # rule (lowest 65% < 0.60) earlier, at the 0.60 crossing
+    T, F = 60, 1 + CFG.spec_size + CFG.nm_size
+    feats = np.zeros((T, F), np.float32)
+    feats[:, 0] = np.log(140.0)
+    feats[:, 1 : 1 + CFG.spec_size] = -6.0
+    nm = np.full((T, CFG.nm_size), 0.95, np.float32)
+    nm[10:30] = 0.2  # solidly voiced
+    ramp = np.linspace(0.2, 0.95, 12, dtype=np.float32)  # release tail
+    nm[30:42] = ramp[:, None]
+    feats[:, 1 + CFG.spec_size :] = nm
+
+    _, v_ana = voc_d.f0_vuv(feats)
+    _, v_prd = voc_p.f0_vuv_pred(feats)
+    last_ana = np.flatnonzero(v_ana > 0.5).max()
+    last_prd = np.flatnonzero(v_prd > 0.5).max()
+    assert last_prd < last_ana  # lower threshold releases earlier
+    assert np.flatnonzero(v_prd > 0.5).min() == 10  # onset unchanged
+
+    # the knobs do NOT leak into the analysis rule or the default pred path
+    _, v_ana_p = voc_p.f0_vuv(feats)
+    np.testing.assert_array_equal(v_ana_p, v_ana)
+    _, v_prd_d = voc_d.f0_vuv_pred(feats)
+    np.testing.assert_array_equal(v_prd_d, v_ana)
