@@ -106,6 +106,13 @@ class AnalysisParams:
     # (≥60 bins/band at PS_N=2048). In AnalysisParams (not a module
     # global) so sweeps re-trace and the config records the convention.
     gd_band_hz: float = 2000.0
+    # which aperiodicity reading drives the spec stream's noise-band
+    # smoothing gate (vocoders/pml.py): "peak_valley" (default) or "d4c"
+    # (the group-delay reading; requires nm_method="d4c_gd"). A gate that
+    # differs between the closed loop's two analyses adds
+    # (x − smoothed)·Δgate of error, so a more repeatable gate source
+    # could cut that term — probe knob, swept via boundary_diag.
+    gate_nm_source: str = "peak_valley"
 
     # --- rendered attack/release gate (vocoders/pml.py synthesis) ---
     # window-power-fraction at which the rendered attack/release switches on

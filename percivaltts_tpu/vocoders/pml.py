@@ -245,19 +245,20 @@ def pml_analyze_core(
             wav, f0, fs, hop, nm_size, min(f0_min, 60.0),
             valley_smooth=ap.nm_valley_smooth, vuv=vuv, ap=ap,
         )
+        gd_raw = None
         if ap.nm_method == "d4c_gd":
-            # group-delay estimator for the nm STREAM (probe arm; the gate
-            # below keeps the peak/valley reading — a rendering detail)
+            # group-delay estimator for the nm STREAM (the gate below
+            # defaults to the peak/valley reading; ap.gate_nm_source="d4c"
+            # drives it from this reading instead)
             from percivaltts_tpu.ops.aperiodicity import (
                 group_delay_aperiodicity as _gd_ap,
             )
 
-            nm = _erode5(
-                _gd_ap(
-                    wav, f0, fs, hop, nm_size, min(f0_min, 60.0),
-                    vuv=vuv, ap=ap,
-                )
+            gd_raw = _gd_ap(
+                wav, f0, fs, hop, nm_size, min(f0_min, 60.0),
+                vuv=vuv, ap=ap,
             )
+            nm = _erode5(gd_raw)
         elif ap.nm_method == "peak_valley":
             nm = _erode5(nm_raw)
         else:
@@ -275,12 +276,24 @@ def pml_analyze_core(
         # (nm interpolated to the spec bands — both mel-uniform): voiced
         # frames' noisy high bands need the smoothing as much as unvoiced
         # frames do.
+        if ap.gate_nm_source == "d4c":
+            if gd_raw is None:
+                raise ValueError(
+                    'gate_nm_source="d4c" requires nm_method="d4c_gd"'
+                )
+            gate_raw = gd_raw
+        elif ap.gate_nm_source == "peak_valley":
+            gate_raw = nm_raw
+        else:
+            raise ValueError(
+                f"unknown AnalysisParams.gate_nm_source: {ap.gate_nm_source!r}"
+            )
         ji = np.arange(spec_size) * (nm_size - 1) / max(spec_size - 1, 1)
         j0 = np.clip(ji.astype(np.int32), 0, nm_size - 2)
         M = np.zeros((nm_size, spec_size), np.float32)
         M[j0, np.arange(spec_size)] = 1.0 - (ji - j0)
         M[j0 + 1, np.arange(spec_size)] += ji - j0
-        nm_spec = nm_raw @ jnp.asarray(M)  # (nf, spec_size)
+        nm_spec = gate_raw @ jnp.asarray(M)  # (nf, spec_size)
         # 5-band box smoothing of the per-band gate, then max with the
         # per-frame scalar gate: the raw per-band gate carries the nm
         # estimator's own variance, and a gate that differs between the two
@@ -291,7 +304,7 @@ def pml_analyze_core(
             axis=-1,
         )
         nm_band = sum(pad[:, i : i + spec_size] for i in range(5)) / 5.0
-        gate = jnp.maximum(nm_band, nm_raw.mean(axis=-1, keepdims=True))
+        gate = jnp.maximum(nm_band, gate_raw.mean(axis=-1, keepdims=True))
         spec_w = _smooth_noiselike(spec_w, _erode5(gate))
     else:
         # round-1 estimator: per-band harmonicity r(τ0)/r(0) from the power
