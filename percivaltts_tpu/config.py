@@ -363,6 +363,17 @@ class TrainConfig:
     # WGAN-GP
     n_critic: int = 5
     gp_lambda: float = 10.0
+    # lazy gradient penalty: apply the GP double-backprop only on every
+    # K-th critic update of the unrolled inner loop (StyleGAN2-style lazy
+    # regularization, Karras et al. 2020 §lazy-reg, transplanted to
+    # WGAN-GP). λ is scaled by K on the iterations that do apply it, so
+    # the time-averaged regularization pressure matches gp_every=1.
+    # Because the critic loop is unrolled with STATIC iteration indices,
+    # skipped iterations elide the whole double-backprop subgraph at trace
+    # time — a structural knockout, not a 0·x multiply XLA must keep
+    # (BASELINE.md "gp_lambda=0 is NOT a GP knockout"). 1 = the reference's
+    # every-step GP (default, reference-faithful).
+    gp_every: int = 1
     lse_weight: float = 0.25  # LSE mixing weight in the generator loss
     # exponential moving average of the GENERATOR weights (0 = off).
     # Standard production-GAN practice (absent in the reference): after

@@ -43,14 +43,25 @@ def make_wgan_step(
 
     n_critic = cfg.n_critic
     gp_lambda = cfg.gp_lambda
+    gp_every = max(1, cfg.gp_every)
     lse_weight = cfg.lse_weight
 
-    def critic_loss_fn(critic_params, batch, fake, eps_key, state: GANState):
+    def critic_loss_fn(
+        critic_params, batch, fake, eps_key, state: GANState, apply_gp: bool
+    ):
         lab, real, mask = batch["lab"], batch["cmp"], batch["mask"]
         d_real = state.critic.apply_fn(critic_params, real, lab, mask)
         d_fake = state.critic.apply_fn(critic_params, fake, lab, mask)
 
-        # gradient penalty on per-sample interpolates
+        w_dist = jnp.mean(d_real) - jnp.mean(d_fake)
+        if not apply_gp:
+            # lazy-GP skip iteration: the double-backprop subgraph is not
+            # traced at all (apply_gp is a static Python bool — the loop
+            # below is unrolled), so XLA never sees it
+            return -w_dist, (w_dist, jnp.float32(0))
+
+        # gradient penalty on per-sample interpolates; λ·gp_every keeps the
+        # time-averaged penalty pressure equal to the every-step schedule
         eps = jax.random.uniform(eps_key, (real.shape[0], 1, 1))
         interp = eps * real + (1.0 - eps) * fake
 
@@ -61,8 +72,7 @@ def make_wgan_step(
         gnorm = jnp.sqrt(jnp.sum(jnp.square(g), axis=(1, 2)) + 1e-12)
         gp = jnp.mean(jnp.square(gnorm - 1.0))
 
-        w_dist = jnp.mean(d_real) - jnp.mean(d_fake)
-        loss = -w_dist + gp_lambda * gp
+        loss = -w_dist + (gp_lambda * gp_every) * gp
         return loss, (w_dist, gp)
 
     def gen_loss_fn(gen_params, critic_params, batch, dkey, state: GANState):
@@ -110,7 +120,14 @@ def make_wgan_step(
             )
             (loss, (w, gp)), grads = jax.value_and_grad(
                 critic_loss_fn, has_aux=True
-            )(critic_ts.params, batch, fakes[i], eps_keys[i], state)
+            )(
+                critic_ts.params,
+                batch,
+                fakes[i],
+                eps_keys[i],
+                state,
+                i % gp_every == 0,  # static: i is a Python int (unrolled)
+            )
             critic_ts = critic_ts.apply_gradients(grads=grads)
             return critic_ts, w_acc + w, gp_acc + gp
 
@@ -134,7 +151,9 @@ def make_wgan_step(
             "gen_adv": adv,
             "lse": lse,
             "w_dist": w_sum / n_critic,
-            "gp": gp_sum / n_critic,
+            # gp averages over the iterations that computed it (lazy-GP
+            # skips contribute an exact 0 to gp_sum)
+            "gp": gp_sum / len(range(0, n_critic, gp_every)),
         }
         new_state = state.replace(gen=gen_ts, critic=critic_ts, key=key)
         if cfg.ema_decay > 0.0 and state.ema is not None:

@@ -88,6 +88,9 @@ def main(
             patience=10**6,
             device_corpus=True,
             ema_decay=float(os.environ.get("EMA_DECAY", "0")),
+            # lazy-GP qualification knob (scripts/lazy_gp_probe.py measures
+            # the step-time side; this soak measures the quality side)
+            gp_every=int(os.environ.get("GP_EVERY", "1")),
             seed=321,
         ),
     )

