@@ -91,6 +91,11 @@ def main(
             # lazy-GP qualification knob (scripts/lazy_gp_probe.py measures
             # the step-time side; this soak measures the quality side)
             gp_every=int(os.environ.get("GP_EVERY", "1")),
+            # TTUR-style arm: fewer critic updates per outer step with the
+            # critic LR scaled up (Heusel et al. 2017 two-timescale rule) —
+            # 1.44x wall-clock per outer step at n_critic=3 if quality holds
+            n_critic=int(os.environ.get("N_CRITIC", "5")),
+            lr_critic=float(os.environ.get("LR_CRITIC", "1e-4")),
             seed=321,
         ),
     )
