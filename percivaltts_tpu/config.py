@@ -373,6 +373,12 @@ class TrainConfig:
     # time — a structural knockout, not a 0·x multiply XLA must keep
     # (BASELINE.md "gp_lambda=0 is NOT a GP knockout"). 1 = the reference's
     # every-step GP (default, reference-faithful).
+    # MEASURED REJECTION (round 4, keep at 1 for quality): K=2/5 buys
+    # +12/+27% step time but regresses test MCD 7.7 → 8.13/9.06 with
+    # GV/ms_hi overshoot — the WGAN-GP penalty is a per-update Lipschitz
+    # constraint, not time-averaged pressure (BASELINE.md "Lazy gradient
+    # penalty" row; scripts/lazy_gp_probe.py). The knob stays as the
+    # measured record and for structural-knockout experiments.
     gp_every: int = 1
     lse_weight: float = 0.25  # LSE mixing weight in the generator loss
     # exponential moving average of the GENERATOR weights (0 = off).

@@ -94,6 +94,9 @@ def main(
             # TTUR-style arm: fewer critic updates per outer step with the
             # critic LR scaled up (Heusel et al. 2017 two-timescale rule) —
             # 1.44x wall-clock per outer step at n_critic=3 if quality holds
+            # (measured: the n_critic sweep's fused wall at nc=1/3/5 =
+            # 10.1/16.9/24.4 ms, BASELINE.md "In-schedule critic update
+            # cost" row — 24.4/16.9 = 1.44x)
             n_critic=int(os.environ.get("N_CRITIC", "5")),
             lr_critic=float(os.environ.get("LR_CRITIC", "1e-4")),
             seed=321,
