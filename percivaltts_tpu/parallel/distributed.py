@@ -122,6 +122,20 @@ def global_stacked_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return out
 
 
+def global_scalar(value: Any, mesh: Optional[Mesh], dtype=np.int32) -> jax.Array:
+    """A scalar as a globally-replicated array. Under ``process_count>1`` a
+    plain ``jnp.asarray`` is a host-local SingleDeviceSharding array, which
+    Orbax refuses to serialize in a multi-host save ("Cannot serialize host
+    local jax.Array") — the Trainer's per-epoch counter update must build
+    the leaf with the global replicated sharding instead."""
+    if mesh is None or jax.process_count() == 1:
+        return jax.numpy.asarray(value, dtype)
+    arr = np.asarray(value, dtype)
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P()), arr, arr.shape
+    )
+
+
 def replicate_state_global(state: Any, mesh: Mesh) -> Any:
     """Replicate a pytree across all processes' devices. Single-process
     ``device_put`` cannot place onto non-addressable devices, so the

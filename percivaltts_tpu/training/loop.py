@@ -30,6 +30,7 @@ from percivaltts_tpu.config import Configuration
 from percivaltts_tpu.data.dataset import Dataset
 from percivaltts_tpu.parallel.distributed import (
     global_batch,
+    global_scalar,
     global_stacked_batch,
     replicate_state_global,
 )
@@ -493,7 +494,9 @@ class Trainer:
             va = self._validate()
             obj = self._validate_measures(epoch)
             self.state = self.state.replace(
-                epoch=jax.numpy.asarray(epoch + 1, jax.numpy.int32)
+                # process-aware: a host-local scalar leaf would break the
+                # multi-host Orbax save (see global_scalar)
+                epoch=global_scalar(epoch + 1, self.mesh)
             )
             self.metrics.log("epoch", epoch=epoch, valid=va, **tr)
             history["train"].append(tr)

@@ -9,11 +9,20 @@ both runs produce the same numbers — multi-host data parallelism must be a
 pure re-partitioning of the same computation.
 
 Usage: python distributed_worker.py <process_id> <num_processes> <port>
-       <devices_per_proc> [mode]
+       <devices_per_proc> [mode] [phase] [workdir]
 
-``mode`` = "stream" (default; global_batch placement) or "devcorpus"
-(HBM-resident sharded corpus: each process uploads only its
-``Dataset.shard`` and the in-jit shard_map gather assembles batches).
+``mode``:
+- "stream" (default): LSE through ``global_batch`` placement.
+- "devcorpus": HBM-resident sharded corpus — each process uploads only its
+  ``Dataset.shard`` and the in-jit shard_map gather assembles batches.
+- "wgan": the FULL ``Trainer`` with trainer="wgan" — drives
+  ``make_wgan_step`` through ``global_stacked_batch`` (the (n_critic, B,
+  ...) axis-1 row slice) and the multi-process Orbax save at epoch end.
+- "wgan_resume": kill-and-resume. ``phase`` = "part1" (train 2 epochs,
+  checkpoint, then simulate a crash via os._exit without cleanup),
+  "part2" (fresh processes resume from the Orbax checkpoint in
+  ``workdir`` and finish), or "full" (uninterrupted run) — part2's final
+  trajectory must equal full's.
 """
 
 import os
@@ -26,6 +35,8 @@ pid, nproc, port, dev_per = (
     int(sys.argv[4]),
 )
 mode = sys.argv[5] if len(sys.argv) > 5 else "stream"
+phase = sys.argv[6] if len(sys.argv) > 6 else "full"
+workdir = sys.argv[7] if len(sys.argv) > 7 else None
 os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={dev_per}"
 os.environ["JAX_PLATFORMS"] = "cpu"
 
@@ -74,9 +85,67 @@ labs = [rng.normal(size=(32, LDIM)).astype(np.float32) for _ in range(16)]
 ds = Dataset(labs=labs, cmps=[l @ W for l in labs])
 
 mesh = make_mesh(data_parallel=0, model_parallel=1)
-state = replicate_state_global(make_gan_state(cfg, LDIM), mesh)
 
 loss = None
+if mode in ("wgan", "wgan_resume"):
+    import tempfile
+
+    from percivaltts_tpu.training.loop import Trainer
+
+    if workdir is None:
+        workdir = tempfile.mkdtemp(prefix="wgan_dist_")
+    # 16 utts / batch 4 = exactly one (n_critic+1)=4-batch group per epoch:
+    # groups never straddle epochs, so a resumed run regenerates the same
+    # group sequence as the uninterrupted one.
+    wcfg = Configuration(
+        data=DataConfig(batch_size=4, bucket_bounds=(32,), label_dim=LDIM),
+        vocoder=VOC,
+        model=ModelConfig(
+            generator="fc",
+            hidden_size=16,
+            num_layers=2,
+            critic_channels=4,
+            critic_blocks=2,
+            critic_hidden=8,
+            compute_dtype="float32",
+        ),
+        train=TrainConfig(
+            trainer="wgan",
+            n_critic=3,
+            lr_gen=1e-3,
+            lr_critic=1e-3,
+            checkpoint_every=1,
+            keep_checkpoints=8,
+            patience=10**6,
+            seed=7,
+        ),
+        workdir=workdir,
+    )
+    valid = Dataset(labs=labs[:4], cmps=[l @ W for l in labs[:4]])
+    trainer = Trainer(wcfg, ds, valid_ds=valid, mesh=mesh, workdir=workdir)
+    if mode == "wgan":
+        hist = trainer.train(epochs=3)
+    elif phase == "part1":
+        trainer.train(epochs=2)
+        # simulate a crash: no close(), no cleanup — the relaunched
+        # processes must resume purely from the Orbax checkpoint
+        print("PART1_SAVED", flush=True)
+        os._exit(0)
+    else:
+        if phase == "part2":
+            assert trainer.resume(), "no checkpoint to resume from"
+            assert int(trainer.state.epoch) == 2, int(trainer.state.epoch)
+        hist = trainer.train(epochs=4)
+    loss = hist["train"][-1]["loss"]
+    _sum = lambda t: sum(
+        float(jax.numpy.sum(jax.numpy.abs(x))) for x in jax.tree.leaves(t)
+    )
+    checksum = _sum(trainer.state.gen.params) + _sum(trainer.state.critic.params)
+    print(f"RESULT loss={float(loss):.8f} checksum={checksum:.6f}", flush=True)
+    sys.exit(0)
+
+state = replicate_state_global(make_gan_state(cfg, LDIM), mesh)
+
 if mode == "devcorpus":
     from percivaltts_tpu.data.device_corpus import (
         DeviceCorpus,
