@@ -44,6 +44,9 @@ def cmd_demo(args) -> int:
         hard=getattr(args, "hard", False),
         jitter=getattr(args, "jitter", 0.0),
         speaker_f0=getattr(args, "speaker_f0", 0.0),
+        encode_f0=getattr(args, "encode_f0", False),
+        noise_snr_db=getattr(args, "noise_snr_db", 0.0),
+        reverb_ms=getattr(args, "reverb_ms", 0.0),
     )
     # drop a ready-to-edit config SIZED FOR the miniature corpus (small
     # model, few epochs, f32 so it also runs quickly on CPU); production
@@ -418,6 +421,29 @@ def main(argv=None) -> int:
         "making the f0 contour label-predictable (the default draws an "
         "unlabeled per-utterance f0, leaving ~30 Hz of F0 RMSE "
         "irreducible — see BASELINE.md)",
+    )
+    pd.add_argument(
+        "--encode-f0",
+        action="store_true",
+        dest="encode_f0",
+        help="write each utterance's base f0 into the labels (&<hz>! "
+        "context suffix + CQS F0_Base question) — the corpus-realism "
+        "equivalent of speaker/prosody features; makes F0 RMSE "
+        "model-limited instead of corpus-limited",
+    )
+    pd.add_argument(
+        "--noise-snr-db",
+        type=float,
+        default=0.0,
+        dest="noise_snr_db",
+        help="acoustic stressor: additive background noise at this SNR (dB)",
+    )
+    pd.add_argument(
+        "--reverb-ms",
+        type=float,
+        default=0.0,
+        dest="reverb_ms",
+        help="acoustic stressor: synthetic room reverb tail of this length",
     )
     pd.set_defaults(fn=cmd_demo)
 

@@ -205,6 +205,108 @@ def _synthesize_utterance(
     return out.astype(np.float32), f0.astype(np.float32), voiced_s
 
 
+def _utterance_plan(
+    rng: np.random.Generator,
+    names: Sequence[str],
+    min_phones: int,
+    max_phones: int,
+    hard: bool,
+) -> Tuple[List[str], List[float], float]:
+    """Draw one utterance's (phone sequence, durations, f0_base) — the part
+    of the corpus an oracle predictor could know from the labels. Shared by
+    ``generate_demo_corpus`` and ``replay_corpus_plans`` so the two consume
+    the RNG identically."""
+    nph = int(rng.integers(min_phones, max_phones + 1))
+    seq = (
+        ["sil"]
+        + [names[int(rng.integers(len(names)))] for _ in range(nph)]
+        + ["sil"]
+    )
+    durs = [
+        float(rng.uniform(0.05, 0.12))
+        if p != "sil"
+        else float(rng.uniform(0.08, 0.15))
+        for p in seq
+    ]
+    # quantize durations to whole 5 ms frames, 5 states per phone
+    shift = 0.005
+    durs = [max(round(d / shift), 5) * shift for d in durs]
+    # always draw (keeps the RNG sequence — and thus every other mode's
+    # output — byte-identical), then pin for the single-speaker mode
+    f0_base = float(
+        rng.uniform(75.0, 285.0) if hard else rng.uniform(110.0, 220.0)
+    )
+    return seq, durs, f0_base
+
+
+def _apply_stressors(
+    wav: np.ndarray,
+    fs: int,
+    seed: int,
+    u: int,
+    noise_snr_db: float,
+    reverb_ms: float,
+) -> np.ndarray:
+    """Acoustic-condition stressors (round-5 corpus-realism axis): additive
+    background noise at a given SNR and/or a synthetic room reverb
+    (exponential-decay noise impulse response). Drawn from a rng derived
+    from (seed, utterance index) so the BASE corpus draws — labels, f0,
+    phone realizations — stay byte-identical to the unstressed corpus,
+    making stressed/unstressed A/Bs differ only in acoustic conditions."""
+    if noise_snr_db <= 0 and reverb_ms <= 0:
+        return wav
+    srng = np.random.default_rng([seed, u, 2077])
+    out = wav.astype(np.float64)
+    if reverb_ms > 0:
+        L = max(int(fs * reverb_ms / 1000.0), 8)
+        tail = srng.normal(size=L) * np.exp(-6.9 * np.arange(L) / L)
+        ir = np.concatenate([[1.0], 0.35 * tail])  # direct path + tail
+        ir = ir / np.sqrt(np.sum(ir * ir))
+        out = np.convolve(out, ir)[: len(out)]
+    if noise_snr_db > 0:
+        sig = float(np.sqrt(np.mean(out * out)) + 1e-12)
+        out = out + (sig / 10.0 ** (noise_snr_db / 20.0)) * srng.normal(
+            size=len(out)
+        )
+    peak = np.abs(out).max()
+    if peak > 0:
+        out = out / peak * 0.6
+    return out.astype(np.float32)
+
+
+def replay_corpus_plans(
+    num_utterances: int,
+    fs: int = 16000,
+    seed: int = 1234,
+    min_phones: int = 6,
+    max_phones: int = 12,
+    hard: bool = False,
+    jitter: float = 0.0,
+    speaker_f0: float = 0.0,
+):
+    """Re-derive each utterance's (uid, phones, durations, f0_base,
+    canonical waveform) for ``generate_demo_corpus(same args)`` without
+    touching disk. Consumes the RNG exactly as the generator does
+    (synthesis draws included), so ALTERNATE realizations of any utterance
+    — same labels, fresh noise/jitter draws — can be rendered via
+    ``_synthesize_utterance(seq, durs, fs, f0_base, fresh_rng, ...)``.
+    This is the Monte-Carlo oracle of ``scripts/pred_budget.py``: the mean
+    over alternates is the best label(+f0)-informed predictor, whose error
+    vs the canonical realization is the corpus's irreducible floor."""
+    rng = np.random.default_rng(seed)
+    names = BASE_NAMES + ([p for p in PLOSIVES] if hard else [])
+    for u in range(num_utterances):
+        seq, durs, f0_base = _utterance_plan(
+            rng, names, min_phones, max_phones, hard
+        )
+        if speaker_f0 > 0:
+            f0_base = float(speaker_f0)
+        wav, _, _ = _synthesize_utterance(
+            seq, durs, fs, f0_base, rng, hard=hard, jitter=jitter
+        )
+        yield f"demo{u:04d}", seq, durs, f0_base, wav
+
+
 def generate_demo_corpus(
     root: str,
     num_utterances: int = 20,
@@ -215,6 +317,9 @@ def generate_demo_corpus(
     hard: bool = False,
     jitter: float = 0.0,
     speaker_f0: float = 0.0,
+    encode_f0: bool = False,
+    noise_snr_db: float = 0.0,
+    reverb_ms: float = 0.0,
 ) -> List[str]:
     """Write a miniature corpus under ``root``: ``wav/``,
     ``label_state_align/``, ``questions.hed``, ``fileids.scp``.
@@ -240,7 +345,22 @@ def generate_demo_corpus(
 
     ``jitter`` > 0 (e.g. 0.12 = ±12 % formant shifts) makes the mapping
     one-to-many per phone instance — the over-smoothing stress corpus for
-    LSE-vs-WGAN studies; see ``_synthesize_utterance``."""
+    LSE-vs-WGAN studies; see ``_synthesize_utterance``.
+
+    ``encode_f0=True`` writes each utterance's base f0 INTO the labels
+    (context suffix ``&<hz>!`` + a ``CQS "F0_Base"`` question) — the
+    round-5 corpus-realism axis: the default corpus's per-utterance f0
+    draw is label-unencoded and makes ~30 Hz of F0 RMSE irreducible by
+    construction (BASELINE.md "attribution CLOSED"); encoding it is the
+    equivalent of a real corpus's speaker/prosody features and turns F0
+    RMSE into a model-limited metric. Default False keeps labels and
+    questions byte-identical.
+
+    ``noise_snr_db`` > 0 / ``reverb_ms`` > 0 add acoustic-condition
+    stressors (background noise at that SNR; exponential-tail room
+    reverb) from a derived rng — base draws stay byte-identical, so
+    stressed/unstressed corpora differ only in acoustic conditions (see
+    ``_apply_stressors``)."""
     from percivaltts_tpu.data.compose import save_wav
 
     rng = np.random.default_rng(seed)
@@ -267,28 +387,23 @@ def generate_demo_corpus(
                 + ",".join(f"*-{p}+*" for p, (v, _, _) in PHONES.items() if v)
                 + "}\n")
         q.write('CQS "Pos_Phone_Fw" {@(\\d+)_}\n')
+        if encode_f0:
+            q.write('CQS "F0_Base" {&(\\d+)!}\n')
 
+    shift = 0.005
     ids: List[str] = []
     for u in range(num_utterances):
         uid = f"demo{u:04d}"
         ids.append(uid)
-        nph = int(rng.integers(min_phones, max_phones + 1))
-        seq = ["sil"] + [names[int(rng.integers(len(names)))] for _ in range(nph)] + ["sil"]
-        durs = [
-            float(rng.uniform(0.05, 0.12)) if p != "sil" else float(rng.uniform(0.08, 0.15))
-            for p in seq
-        ]
-        # quantize durations to whole 5 ms frames, 5 states per phone
-        shift = 0.005
-        durs = [max(round(d / shift), 5) * shift for d in durs]
-        # always draw (keeps the RNG sequence — and thus every other mode's
-        # output — byte-identical), then pin for the single-speaker mode
-        f0_base = float(rng.uniform(75.0, 285.0) if hard else rng.uniform(110.0, 220.0))
+        seq, durs, f0_base = _utterance_plan(
+            rng, names, min_phones, max_phones, hard
+        )
         if speaker_f0 > 0:
             f0_base = float(speaker_f0)
         wav, f0_s, voiced_s = _synthesize_utterance(
             seq, durs, fs, f0_base, rng, hard=hard, jitter=jitter
         )
+        wav = _apply_stressors(wav, fs, seed, u, noise_snr_db, reverb_ms)
         save_wav(os.path.join(wav_dir, uid + ".wav"), fs, wav)
         # ground-truth f0 reference at the 5 ms frame rate: (nf, 2) columns
         # [f0_hz, voiced] sampled at frame centers — lets tests attribute
@@ -308,6 +423,8 @@ def generate_demo_corpus(
             prev = seq[i - 1] if i > 0 else "x"
             nxt = seq[i + 1] if i + 1 < len(seq) else "x"
             ctx = f"x^{prev}-{ph}+{nxt}=x@{i}_{len(seq) - i}"
+            if encode_f0:
+                ctx += f"&{int(round(f0_base))}!"
             frames = int(round(dur / shift))
             per_state = [frames // 5] * 5
             for j in range(frames - sum(per_state)):

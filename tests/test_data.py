@@ -167,3 +167,115 @@ def test_demo_speaker_f0_mode(tmp_path):
     assert ms.std() < 5.0, ms
     # the default mode's across-utterance spread is the irreducible term
     assert ma.std() > 10.0, ma
+
+
+def test_demo_encode_f0_mode(tmp_path):
+    """encode_f0=True writes each utterance's base-f0 draw INTO the labels
+    (&<hz>! context suffix + CQS F0_Base question) — the corpus-realism
+    axis that makes F0 RMSE model-limited instead of corpus-limited
+    (BASELINE.md "attribution CLOSED"). Acoustics must be byte-identical
+    to the default corpus; only the label information content changes."""
+    from percivaltts_tpu.data.demo import generate_demo_corpus
+    from percivaltts_tpu.data.hts_labels import (
+        QuestionSet,
+        binarize_label_file,
+    )
+
+    a, e = str(tmp_path / "a"), str(tmp_path / "e")
+    generate_demo_corpus(a, num_utterances=3, fs=16000, seed=11)
+    generate_demo_corpus(e, num_utterances=3, fs=16000, seed=11, encode_f0=True)
+
+    def rd(root, rel):
+        with open(os.path.join(root, rel), "rb") as f:
+            return f.read()
+
+    for i in range(3):
+        assert rd(a, f"wav/demo{i:04d}.wav") == rd(e, f"wav/demo{i:04d}.wav")
+        assert rd(a, f"f0ref/demo{i:04d}.npy") == rd(e, f"f0ref/demo{i:04d}.npy")
+
+    qa = QuestionSet.from_hed(os.path.join(a, "questions.hed"))
+    qe = QuestionSet.from_hed(os.path.join(e, "questions.hed"))
+    assert qe.dim == qa.dim + 1  # the F0_Base CQS, appended last
+
+    bases = []
+    for i in range(3):
+        arr = binarize_label_file(
+            os.path.join(e, "label_state_align", f"demo{i:04d}.lab"), qe
+        )
+        col = arr[:, qa.dim]  # F0_Base answers
+        # constant across the utterance (a per-utterance scalar feature)
+        assert float(col.std()) == 0.0
+        base = float(col[0])
+        bases.append(base)
+        # and it is the TRUE base: the f0ref voiced means sit in its
+        # declination band (contour = base * [0.85..1.02])
+        tr = np.load(os.path.join(e, "f0ref", f"demo{i:04d}.npy"))
+        vm = float(tr[tr[:, 1] > 0.5, 0].mean())
+        assert 0.8 * base < vm < 1.05 * base, (base, vm)
+    # across utterances the column varies — it carries the draw
+    assert np.std(bases) > 5.0, bases
+
+
+def test_demo_replay_corpus_plans(tmp_path):
+    """replay_corpus_plans must re-derive the SAME utterances (plans +
+    canonical waveforms) as generate_demo_corpus without touching disk —
+    it is the Monte-Carlo oracle substrate of scripts/pred_budget.py, so
+    any RNG-consumption drift between the two would silently corrupt the
+    error-budget's irreducible-floor term."""
+    import scipy.io.wavfile as wavfile
+
+    from percivaltts_tpu.data.demo import (
+        generate_demo_corpus,
+        replay_corpus_plans,
+    )
+
+    root = str(tmp_path / "c")
+    kw = dict(num_utterances=3, fs=16000, seed=23, jitter=0.1)
+    ids = generate_demo_corpus(root, **kw)
+    plans = list(replay_corpus_plans(**kw))
+    assert [p[0] for p in plans] == ids
+    shift = 0.005
+    for uid, seq, durs, f0_base, wav in plans:
+        _, disk = wavfile.read(os.path.join(root, "wav", uid + ".wav"))
+        # replay quantized exactly as save_wav writes must match the file
+        rep = (np.clip(wav, -1.0, 1.0) * 32767.0).astype(np.int16)
+        assert np.array_equal(disk, rep)
+        # the plan is frame-quantized and consistent with the label file
+        with open(
+            os.path.join(root, "label_state_align", uid + ".lab")
+        ) as f:
+            n_states = len(f.read().strip().split("\n"))
+        assert n_states == 5 * len(seq)
+        assert all(abs(d / shift - round(d / shift)) < 1e-6 for d in durs)
+        assert 110.0 <= f0_base <= 220.0
+
+
+def test_demo_acoustic_stressors(tmp_path):
+    """noise_snr_db / reverb_ms stress ONLY the acoustic conditions: labels,
+    questions and f0ref stay byte-identical to the clean corpus (the base
+    RNG draws are untouched), waveforms change, and the stressed corpus is
+    itself deterministic."""
+    from percivaltts_tpu.data.demo import generate_demo_corpus
+
+    a, n, n2, r = (str(tmp_path / d) for d in ("a", "n", "n2", "r"))
+    generate_demo_corpus(a, num_utterances=2, fs=16000, seed=11)
+    generate_demo_corpus(n, num_utterances=2, fs=16000, seed=11, noise_snr_db=20.0)
+    generate_demo_corpus(n2, num_utterances=2, fs=16000, seed=11, noise_snr_db=20.0)
+    generate_demo_corpus(r, num_utterances=2, fs=16000, seed=11, reverb_ms=120.0)
+
+    def rd(root, rel):
+        with open(os.path.join(root, rel), "rb") as f:
+            return f.read()
+
+    for rel in (
+        "questions.hed",
+        "fileids.scp",
+        os.path.join("label_state_align", "demo0000.lab"),
+        os.path.join("f0ref", "demo0001.npy"),
+    ):
+        assert rd(a, rel) == rd(n, rel) == rd(r, rel)
+    wav = os.path.join("wav", "demo0000.wav")
+    assert rd(n, wav) == rd(n2, wav)  # stressors deterministic
+    assert rd(a, wav) != rd(n, wav)  # noise moved the acoustics
+    assert rd(a, wav) != rd(r, wav)  # reverb moved the acoustics
+    assert rd(n, wav) != rd(r, wav)
