@@ -380,6 +380,18 @@ class TrainConfig:
     # penalty" row; scripts/lazy_gp_probe.py). The knob stays as the
     # measured record and for structural-knockout experiments.
     gp_every: int = 1
+    # fuse D(real)+D(fake) into ONE 2B-batch critic pass per critic update
+    # (numerically identical scores; the concat doubles the conv/GEMM batch
+    # at the cost of materializing concatenated real/fake/lab/mask copies).
+    # Round-2 A/B REJECTED it under the then-current critic (4.61 vs
+    # 4.71–4.72 M frames/s: at B=32 the GEMMs already fill the MXU, so the
+    # concat HBM traffic cost more than the doubled batch saved); round 5
+    # re-measured it under the pool-before-dense + critic_norm="none" stack
+    # the revert predates — still a loss (19.36 → 19.88 ms/step, −2.6%;
+    # scripts/fused2b_probe.py), the concat copies again outweigh the
+    # batching win now that the small-op fraction is even lower. Kept as
+    # the measured-rejection record.
+    critic_fused_pass: bool = False
     lse_weight: float = 0.25  # LSE mixing weight in the generator loss
     # exponential moving average of the GENERATOR weights (0 = off).
     # Standard production-GAN practice (absent in the reference): after

@@ -121,10 +121,18 @@ def compose(
         import json
 
         voc_meta = dataclasses.asdict(cfg.vocoder)
-        # the voicing DECISION rule applies to predicted tracks at
-        # generation time only — it does not change analysis output, so
-        # flipping it must not invalidate extracted features
-        for k in ("vuv_rule", "vuv_bap_bands", "vuv_bap_threshold"):
+        # the voicing DECISION rules apply to predicted tracks at
+        # generation time only — they do not change analysis output, so
+        # flipping them must not invalidate extracted features (the
+        # production preset sets vuv_pred_*, which silently recomposed
+        # every preset run until round 5)
+        for k in (
+            "vuv_rule",
+            "vuv_bap_bands",
+            "vuv_bap_threshold",
+            "vuv_pred_low_frac",
+            "vuv_pred_threshold",
+        ):
             voc_meta.pop(k, None)
         meta = {
             "vocoder": voc_meta,

@@ -50,8 +50,20 @@ def make_wgan_step(
         critic_params, batch, fake, eps_key, state: GANState, apply_gp: bool
     ):
         lab, real, mask = batch["lab"], batch["cmp"], batch["mask"]
-        d_real = state.critic.apply_fn(critic_params, real, lab, mask)
-        d_fake = state.critic.apply_fn(critic_params, fake, lab, mask)
+        if cfg.critic_fused_pass:
+            # one 2B-batch pass for both scores (see TrainConfig docs for
+            # the measured A/B record of this knob)
+            B = real.shape[0]
+            d = state.critic.apply_fn(
+                critic_params,
+                jnp.concatenate([real, fake], axis=0),
+                jnp.concatenate([lab, lab], axis=0),
+                jnp.concatenate([mask, mask], axis=0),
+            )
+            d_real, d_fake = d[:B], d[B:]
+        else:
+            d_real = state.critic.apply_fn(critic_params, real, lab, mask)
+            d_fake = state.critic.apply_fn(critic_params, fake, lab, mask)
 
         w_dist = jnp.mean(d_real) - jnp.mean(d_fake)
         if not apply_gp:

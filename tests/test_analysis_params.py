@@ -107,3 +107,18 @@ def test_cache_invalidated_on_analysis_knob_flip(tmp_path):
     a = np.frombuffer(before, np.float32)
     b = np.frombuffer(after, np.float32)
     assert a.shape == b.shape and not np.allclose(a, b)
+
+    # generation-path-only voicing knobs (vuv_rule + the production
+    # preset's vuv_pred_* calibration) do NOT change analysis output and
+    # must NOT invalidate the cache — the preset silently recomposed
+    # every run until round 5
+    stamp = os.stat(cmp_path).st_mtime_ns
+    cfg = make_cfg(AnalysisParams(ps_periods=5))
+    cfg = cfg.replace(
+        vocoder=dataclasses.replace(
+            cfg.vocoder, vuv_pred_low_frac=0.65, vuv_pred_threshold=0.60,
+            vuv_rule="bap",
+        )
+    )
+    compose(cfg, cache_dir=cache)
+    assert os.stat(cmp_path).st_mtime_ns == stamp
