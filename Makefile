@@ -37,6 +37,19 @@ demo-e2e: demo
 bench:
 	$(PYTHON) bench.py
 
+# one-command reference-parity readiness (VERDICT round-4 item 4):
+# checklist -> archive normalize -> compose -> config-3 production train
+# -> generate/measures -> filled parity table + stage timings.
+#   real archive:  make parity ARCHIVE=/path/to/slt_arctic_merlin_full.tar.gz
+#   dry run:       make parity FABRICATE=1100
+FABRICATE ?= 0
+EPOCHS ?= 40
+PARITY_ROOT ?= /tmp/parity
+parity:
+	$(PYTHON) scripts/parity.py --root $(PARITY_ROOT) --epochs $(EPOCHS) \
+		$(if $(ARCHIVE),--archive $(ARCHIVE),) \
+		$(if $(filter-out 0,$(FABRICATE)),--fabricate $(FABRICATE),)
+
 clean:
 	$(MAKE) -C native clean
 	rm -rf demo_corpus exp

@@ -313,6 +313,26 @@ def cmd_export(args) -> int:
         cfg.data.bucket_bounds,
         batch=args.batch,
     )
+    syn_artifacts = None
+    if not getattr(args, "no_synth", False):
+        from percivaltts_tpu.eval.export import export_synthesis
+        from percivaltts_tpu.vocoders import get_vocoder
+
+        voc = get_vocoder(cfg.vocoder)
+        try:
+            syn_artifacts = export_synthesis(
+                voc, cfg.data.bucket_bounds, batch=args.batch
+            )
+            print_log(
+                f"exported synthesis path ({cfg.vocoder.kind}, "
+                f"closed_loop={cfg.vocoder.closed_loop}) at bounds "
+                f"{sorted(syn_artifacts)}"
+            )
+        except NotImplementedError:
+            print_log(
+                f"vocoder {cfg.vocoder.kind!r} has no traced synthesis "
+                "core; skipping synthesis artifacts"
+            )
     outdir = args.out or os.path.join(cfg.workdir, "export")
     mpath = write_export(
         outdir,
@@ -321,6 +341,8 @@ def cmd_export(args) -> int:
         int(out_stats.shift.shape[0]),
         dataclasses.asdict(cfg.vocoder),
         batch=args.batch,
+        syn_artifacts=syn_artifacts,
+        hop=cfg.vocoder.shift_samples,
     )
     sizes = {b: len(d) for b, d in artifacts.items()}
     print_log(f"wrote {len(artifacts)} artifacts to {outdir} (bytes per bound: {sizes}); manifest {mpath}")
@@ -508,6 +530,11 @@ def main(argv=None) -> int:
         "--batch", type=int, default=1,
         help="rows per artifact call (1 = latency serving; >1 = throughput "
         "serving — utterances are packed batch rows per call)",
+    )
+    px.add_argument(
+        "--no-synth", action="store_true", dest="no_synth",
+        help="skip the vocoder-reconstruction (features→waveform) "
+        "artifacts — export only labels→features",
     )
     px.set_defaults(fn=cmd_export)
 

@@ -18,6 +18,10 @@ training pipeline uses (`data/dataset.py` bucketing).
 Layout under <workdir>/export/:
     manifest.json              dims, bounds, vocoder schema, versions
     gen_t<bound>.stablehlo     one serialized jax.export artifact per bound
+    syn_t<bound>.stablehlo     vocoder reconstruction (features→waveform,
+                               the full default path incl. closed-loop) —
+                               serving is model-code-free end-to-end to
+                               audio (ExportedGenerator + ExportedSynthesizer)
 """
 
 from __future__ import annotations
@@ -79,6 +83,73 @@ def export_generator(
     return out
 
 
+def export_synthesis(
+    voc,
+    bounds: Sequence[int],
+    batch: int = 1,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    seed: int = 0,
+) -> Dict[int, bytes]:
+    """Serialize the vocoder reconstruction (features → waveform) at each
+    bound, completing the model-code-free serving chain to audio
+    (VERDICT round-4 item 5; the reference's generation stage synthesizes
+    through its vendored pulsemodel/pyworld code [mount empty] — here the
+    full DEFAULT synthesis path, closed-loop included when configured, is
+    one StableHLO graph).
+
+    Signature per artifact: ((batch, bound', feature_size) f32 RAW
+    (denormalized) features, n_frames) → (batch, bound'·hop) f32 samples,
+    where bound' is the bound rounded UP to the vocoder's frame multiple,
+    ``n_frames`` is () int32 for batch=1 else (batch,) int32, the pad
+    tail is re-padded IN-GRAPH with the vocoder's own convention
+    (last-frame replication / constant fill — ``Vocoder.pad_fill``), and
+    output samples beyond n_frames·hop are zeroed. WORLD inputs must be
+    ``export_preprocess``-ed first (decided voicing in the vuv channel);
+    ``ExportedSynthesizer`` handles that.
+
+    Exported multi-platform (cpu+tpu) by default so the same artifact
+    serves on either; on jax versions that cannot cross-lower, falls back
+    to the current backend's platform."""
+    from jax import export as jexport
+
+    c = voc.cfg
+    hop = c.shift_samples
+    fm = voc.frame_multiple
+    pad_fill = voc.pad_fill
+
+    def synth(fp, n_frames):
+        nf = n_frames if n_frames.ndim else n_frames[None]  # (batch,)
+        T = fp.shape[1]
+        if pad_fill is None:
+            # analysis-consistent tail: replicate the last real frame
+            idx = jnp.minimum(
+                jnp.arange(T)[None, :], jnp.maximum(nf[:, None] - 1, 0)
+            )
+            fpp = jnp.take_along_axis(fp, idx[..., None], axis=1)
+        else:
+            valid = jnp.arange(T)[None, :, None] < nf[:, None, None]
+            fpp = jnp.where(valid, fp, jnp.float32(pad_fill))
+        wav = voc.synthesize_stacked(fpp, seed=seed)
+        samp = jnp.arange(wav.shape[1])[None, :]
+        return jnp.where(samp < nf[:, None] * hop, wav, 0.0)
+
+    out: Dict[int, bytes] = {}
+    for bound in bounds:
+        b = -(-int(bound) // fm) * fm
+        if b in out:
+            continue
+        spec = jax.ShapeDtypeStruct((batch, b, voc.feature_size), jnp.float32)
+        nspec = jax.ShapeDtypeStruct(() if batch == 1 else (batch,), jnp.int32)
+        try:
+            exp = jexport.export(jax.jit(synth), platforms=tuple(platforms))(
+                spec, nspec
+            )
+        except Exception:
+            exp = jexport.export(jax.jit(synth))(spec, nspec)
+        out[b] = exp.serialize()
+    return out
+
+
 def write_export(
     outdir: str,
     artifacts: Dict[int, bytes],
@@ -86,6 +157,8 @@ def write_export(
     feat_dim: int,
     vocoder_dict: dict,
     batch: int = 1,
+    syn_artifacts: Dict[int, bytes] = None,
+    hop: int = None,
 ) -> str:
     os.makedirs(outdir, exist_ok=True)
     for bound, data in artifacts.items():
@@ -101,6 +174,15 @@ def write_export(
         "batch": batch,
         "vocoder": vocoder_dict,
     }
+    if syn_artifacts:
+        for bound, data in syn_artifacts.items():
+            with open(os.path.join(outdir, f"syn_t{bound}.stablehlo"), "wb") as f:
+                f.write(data)
+        manifest["synthesis"] = {
+            "bounds": sorted(syn_artifacts),
+            "hop": hop,
+            "batch": batch,
+        }
     mpath = os.path.join(outdir, "manifest.json")
     with open(mpath, "w") as f:
         json.dump(manifest, f, indent=2)
@@ -195,3 +277,65 @@ class ExportedGenerator:
                 out[j] = res[r, : labs[j].shape[0]]
             i += len(group)
         return out
+
+
+class ExportedSynthesizer:
+    """Load an export dir's synthesis artifacts and run features→waveform
+    reconstruction, completing the model-code-free serving chain.
+
+    The traced DSP graph (closed-loop synthesis included, when the
+    producing config used it) lives entirely in the artifact; the only
+    vocoder code this loader touches is the host-side
+    ``export_preprocess`` hook (WORLD's numpy voicing decision),
+    reconstructed from the manifest's recorded vocoder config — no
+    checkpoint, model, or analysis code is needed."""
+
+    def __init__(self, directory: str):
+        with open(os.path.join(directory, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        syn = self.manifest.get("synthesis")
+        if not syn:
+            raise ValueError(
+                f"{directory}: manifest has no synthesis artifacts — "
+                "re-export without --no-synth"
+            )
+        self.hop = int(syn["hop"])
+        self.batch = int(syn.get("batch", 1))
+        from jax import export as jexport
+
+        self._fns = {}
+        for bound in syn["bounds"]:
+            with open(os.path.join(directory, f"syn_t{bound}.stablehlo"), "rb") as f:
+                self._fns[int(bound)] = jexport.deserialize(f.read())
+        # host-side preprocessing per the recorded vocoder config
+        from percivaltts_tpu.config import Configuration
+        from percivaltts_tpu.vocoders import get_vocoder
+
+        cfg = Configuration.from_dict({"vocoder": self.manifest["vocoder"]})
+        self._voc = get_vocoder(cfg.vocoder)
+
+    @property
+    def bounds(self):
+        return sorted(self._fns)
+
+    def __call__(self, feats: np.ndarray) -> np.ndarray:
+        """(T, feature_size) raw (denormalized) features → (T·hop,) f32
+        samples."""
+        T = feats.shape[0]
+        if T == 0:
+            return np.zeros((0,), np.float32)
+        fit = [b for b in self.bounds if b >= T]
+        if not fit:
+            raise ValueError(
+                f"utterance has {T} frames; largest exported synthesis "
+                f"bound is {self.bounds[-1]} — re-export with a larger "
+                "bucket bound"
+            )
+        bound = fit[0]
+        fp = np.zeros((self.batch, bound, feats.shape[1]), np.float32)
+        fp[0, :T] = self._voc.export_preprocess(np.asarray(feats, np.float32))
+        lens = np.zeros((self.batch,), np.int32)
+        lens[0] = T
+        n = jnp.int32(T) if self.batch == 1 else jnp.asarray(lens)
+        wav = np.asarray(self._fns[bound].call(jnp.asarray(fp), n))
+        return wav[0, : T * self.hop]

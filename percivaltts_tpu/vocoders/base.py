@@ -116,6 +116,38 @@ class Vocoder:
         (generation-stage hot path on TPU)."""
         return [self.synthesize(f, seed=seed) for f in feats_list]
 
+    # -- serving export hooks (eval/export.export_synthesis) -------------- #
+
+    # pad convention for the in-graph tail of an exported synthesis
+    # artifact: None = replicate the last real frame (the analysis-
+    # consistent tail PML/WORLD use — see pml._pad_feats); a float =
+    # constant fill (mel's floor)
+    pad_fill = None
+
+    @property
+    def frame_multiple(self) -> int:
+        """Static-shape granularity of the traced synthesis cores."""
+        from percivaltts_tpu.vocoders.pml import FRAME_MULTIPLE
+
+        return FRAME_MULTIPLE
+
+    def export_preprocess(self, feats: np.ndarray) -> np.ndarray:
+        """Host-side feature preparation a serving loader applies before
+        calling an exported synthesis artifact. Default identity; WORLD
+        overrides it to write its decided voicing track into the vuv
+        channel (the soft-track decision/cleanup rule is host-side
+        numpy, not part of the traced graph)."""
+        return feats
+
+    def synthesize_stacked(self, fp, seed: int = 0):
+        """Traced batch synthesis: (B, nf_pad, feature_size) feature stack
+        (``nf_pad`` a multiple of ``frame_multiple``, tail padded per
+        ``pad_fill``) → (B, nf_pad·shift_samples) waveforms. The
+        jax-traceable core behind ``synthesize_batch``, exposed so
+        ``eval/export.export_synthesis`` can serialize features→waveform
+        as a StableHLO serving artifact."""
+        raise NotImplementedError
+
     # -- measure hooks ---------------------------------------------------- #
 
     def f0_vuv(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

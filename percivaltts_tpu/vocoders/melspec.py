@@ -123,6 +123,19 @@ class MelSpecVocoder(Vocoder):
         )
         return np.asarray(wav[: nf * c.shift_samples])
 
+    # exported-artifact pad convention: mel pads with its log floor (the
+    # Griffin-Lim reconstruction is global, so the test pins parity under
+    # the same fill the host path uses), not last-frame replication
+    pad_fill = -18.0
+
+    def synthesize_stacked(self, fp, seed: int = 0):
+        """Traced core behind ``synthesize_batch`` (see base class)."""
+        c = self.cfg
+        return _mel_synthesize_vmapped(
+            fp, fs=c.fs, hop=c.shift_samples, frame_len=c.frame_samples,
+            dftlen=c.dftlen, mel_size=c.mel_size,
+        )
+
     def synthesize_batch(self, feats_list, seed: int = 0, chunk: int = 4) -> list:
         """One vmapped Griffin-Lim reconstruction per chunk of utterances
         (padded to the chunk's frame bound) — same batching contract as

@@ -1118,6 +1118,32 @@ class PMLVocoder(Vocoder):
             )
         return np.asarray(wav[: nf * c.shift_samples])
 
+    def synthesize_stacked(self, fp, seed: int = 0):
+        """Traced core behind ``synthesize_batch`` (see base class): split
+        the stacked features into streams and run the default synthesis
+        path — closed-loop when configured, else the open-loop core."""
+        c = self.cfg
+        lf0 = fp[:, :, 0]
+        spec = fp[:, :, 1 : 1 + c.spec_size]
+        nm = fp[:, :, 1 + c.spec_size :]
+        amp = c.envelope in ("cheaptrick", "harmonic")
+        if amp and c.closed_loop > 0:
+            return _pml_closed_loop_vmapped(
+                lf0, spec, nm,
+                fs=c.fs, hop=c.shift_samples, frame_len=c.frame_samples,
+                dftlen=c.dftlen, spec_size=c.spec_size, nm_size=c.nm_size,
+                f0_min=c.f0_min, f0_max=c.f0_max, envelope=c.envelope,
+                env_time_smooth=c.env_time_smooth, seed=seed,
+                iters=c.closed_loop, ap=c.analysis,
+            )
+        return _pml_synthesize_vmapped(
+            lf0, spec, nm, amp=amp,
+            fs=c.fs, hop=c.shift_samples, frame_len=c.frame_samples,
+            dftlen=c.dftlen, f0_min=c.f0_min, f0_max=c.f0_max, seed=seed,
+            env_halfw=env_halfw_for(c.envelope),
+            env_tri_radius=c.env_time_smooth, ap=c.analysis,
+        )
+
     def synthesize_batch(self, feats_list, seed: int = 0, chunk: int = 4) -> list:
         """One vmapped device call per chunk of utterances (all padded to
         the chunk's frame bound), instead of one jit variant + dispatch per

@@ -626,6 +626,47 @@ class WorldVocoder(Vocoder):
             feats_list, chunk, FRAME_MULTIPLE, c.shift_samples, build, run
         )
 
+    def export_preprocess(self, feats: np.ndarray) -> np.ndarray:
+        """Serving-loader hook (see base class): write the decided voicing
+        track into the vuv channel — ``_decide_vuv``'s soft-track rules +
+        ``clean_vuv`` are host-side numpy, so they run before the traced
+        artifact, exactly as ``synthesize``/``synthesize_batch`` do."""
+        out = np.array(feats, np.float32, copy=True)
+        out[..., 1] = self._decide_vuv(feats)
+        return out
+
+    def synthesize_stacked(self, fp, seed: int = 0):
+        """Traced core behind ``synthesize_batch`` (see base class). The
+        vuv channel must already hold the DECIDED voicing track
+        (``export_preprocess``)."""
+        from percivaltts_tpu.vocoders.pml import (
+            _pml_synthesize_vmapped,
+            env_halfw_for,
+        )
+
+        c = self.cfg
+        lf0 = fp[:, :, 0]
+        vuv = fp[:, :, 1]
+        spec = fp[:, :, 2 : 2 + c.spec_size]
+        bap = fp[:, :, 2 + c.spec_size :]
+        if c.closed_loop > 0:
+            return _world_closed_loop_vmapped(
+                lf0, vuv, spec, bap,
+                fs=c.fs, hop=c.shift_samples, frame_len=c.frame_samples,
+                dftlen=c.dftlen, spec_size=c.spec_size, nm_size=c.nm_size,
+                f0_min=c.f0_min, f0_max=c.f0_max, envelope=c.envelope,
+                env_time_smooth=c.env_time_smooth, seed=seed,
+                iters=c.closed_loop, ap=c.analysis,
+            )
+        nm = jnp.where(vuv[..., None] > 0.5, bap, 1.0)
+        return _pml_synthesize_vmapped(
+            lf0, spec, nm, amp=True,
+            fs=c.fs, hop=c.shift_samples, frame_len=c.frame_samples,
+            dftlen=c.dftlen, f0_min=c.f0_min, f0_max=c.f0_max, seed=seed,
+            env_halfw=env_halfw_for(c.envelope),
+            env_tri_radius=c.env_time_smooth, ap=c.analysis,
+        )
+
     def f0_vuv(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """f0 from the lf0 stream; voicing per the configured decision
         rule (``VocoderConfig.vuv_rule`` — see ``_decide_vuv``; exact

@@ -108,3 +108,59 @@ def test_export_batched_matches_single(tmp_path, kind):
         np.testing.assert_allclose(g, w, atol=1e-5, err_msg=kind)
     # single-utterance call on a batched artifact also works
     np.testing.assert_allclose(ex4(labs[0]), want[0], atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "kind,kw",
+    [
+        ("pml", dict(spec_size=17, nm_size=9)),  # default closed-loop path
+        ("world", dict(spec_size=17, nm_size=9, vuv_rule="bap")),
+        ("melspec", dict(mel_size=20)),
+    ],
+)
+def test_export_synthesis_bit_exact(tmp_path, kind, kw):
+    """The features→waveform StableHLO artifact must reproduce
+    ``Vocoder.synthesize`` BIT-FOR-BIT on the same backend — the full
+    default synthesis path (closed-loop for pml/world), with the in-graph
+    pad tail matching each vocoder's host-side convention and WORLD's
+    host-side voicing decision applied by the loader
+    (``export_preprocess``)."""
+    from percivaltts_tpu.eval.export import ExportedSynthesizer, export_synthesis
+    from percivaltts_tpu.vocoders import get_vocoder
+
+    import dataclasses
+
+    voc = get_vocoder(VocoderConfig(kind=kind, fs=16000, **kw))
+    rng = np.random.default_rng(3)
+    T = 100  # below the 128-frame bound: exercises the pad tail
+    F = voc.feature_size
+    if kind == "melspec":
+        feats = (rng.normal(size=(T, F)) - 6.0).astype(np.float32)
+    else:
+        feats = np.zeros((T, F), np.float32)
+        feats[:, 0] = np.log(140.0) + 0.1 * rng.normal(size=T)
+        s0 = 1 if kind == "pml" else 2
+        feats[:, s0 : s0 + 17] = rng.normal(size=(T, 17)) * 0.5 - 4.0
+        feats[:, s0 + 17 :] = np.clip(rng.uniform(size=(T, F - s0 - 17)), 0, 1)
+        if kind == "world":
+            # soft vuv track: exercises the bap-rule host decision
+            feats[:, 1] = np.clip(
+                0.5 + 0.4 * np.sin(np.arange(T) / 7.0), 0.06, 0.94
+            )
+
+    arts = export_synthesis(voc, (100,), batch=1)
+    assert sorted(arts) == [128]  # bound rounds up to the frame multiple
+    d = str(tmp_path / "export")
+    write_export(
+        d, {128: b"gen-placeholder"}, 1, F,
+        dataclasses.asdict(voc.cfg),
+        syn_artifacts=arts, hop=voc.cfg.shift_samples,
+    )
+    syn = ExportedSynthesizer(d)
+    wav = syn(feats)
+    want = voc.synthesize(feats, seed=0)
+    assert wav.shape == want.shape == (T * voc.cfg.shift_samples,)
+    assert np.array_equal(wav, want), (
+        f"{kind}: max diff {np.max(np.abs(wav - want))}"
+    )
