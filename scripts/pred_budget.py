@@ -135,7 +135,7 @@ def main(exp: str, K: int = 8, seed: int = 777, n_utts: int = 400):
     terms = {  # term -> per-utt (mean, nframes) lists keyed by mask name
         name: {m: [] for m in
                ("all", "voiced", "unvoiced", "d0_3", "d4_9", "d10")}
-        for name in ("model_ref", "oracle_ref", "model_oracle", "alt_ref")
+        for name in ("model_ref", "oracle_ref", "model_oracle", "alt_ref", "floor_extrap")
     }
     stream_rows: dict = {}
     for i, uid in enumerate(test.ids):
@@ -149,6 +149,17 @@ def main(exp: str, K: int = 8, seed: int = 777, n_utts: int = 400):
             "model_oracle": per_frame_mcd_np(cp, co),
             "alt_ref": per_frame_mcd_np(ca, cr),
         }
+        # K→∞ extrapolation of the oracle floor: with per-frame
+        # realization variance σ², E d(alt,ref)² = 2σ² and
+        # E d(mean_K,ref)² = σ²(1+1/K), so the finite-K oracle overshoots
+        # the true floor σ by the sampling term σ²/K — subtract it
+        # per frame (clamped at 0) for the floor an UNLIMITED-K oracle
+        # (i.e. the exact conditional mean) would score
+        pf["floor_extrap"] = np.sqrt(
+            np.maximum(
+                pf["oracle_ref"] ** 2 - (pf["alt_ref"] ** 2) / (2.0 * K), 0.0
+            )
+        )
         _, vr = voc.f0_vuv(r)
         dist = boundary_distance(vr)
         masks = {
@@ -196,7 +207,7 @@ def main(exp: str, K: int = 8, seed: int = 777, n_utts: int = 400):
     hdr = f"{'term':<14}" + "".join(f"{m:>10}" for m in ("all", "voiced", "unvoiced", "d0_3", "d4_9", "d10"))
     print_log(hdr)
     print_log(f"{'frame frac':<14}" + "".join(f"{frac[m]:>10.2f}" for m in ("all", "voiced", "unvoiced", "d0_3", "d4_9", "d10")))
-    for t in ("model_ref", "oracle_ref", "model_oracle", "alt_ref"):
+    for t in ("model_ref", "oracle_ref", "model_oracle", "alt_ref", "floor_extrap"):
         print_log(f"{t:<14}" + "".join(
             f"{out['terms'][t][m]['mcd_db']:>10.2f}"
             for m in ("all", "voiced", "unvoiced", "d0_3", "d4_9", "d10")))
