@@ -106,6 +106,10 @@ def main() -> int:
         help="build an N-utterance fabricated full-scale archive instead",
     )
     p.add_argument("--epochs", type=int, default=40)
+    p.add_argument(
+        "--steps", type=int, default=50,
+        help="steps per epoch (lower for a CPU mechanics dry run)",
+    )
     p.add_argument("--num-valid", type=int, default=50)
     p.add_argument("--num-test", type=int, default=50)
     p.add_argument(
@@ -170,7 +174,7 @@ def main() -> int:
             "critic_hidden": 256,
         },
         "train": {
-            "trainer": "wgan", "epochs": a.epochs, "steps_per_epoch": 50,
+            "trainer": "wgan", "epochs": a.epochs, "steps_per_epoch": a.steps,
             "lse_weight": 0.25,
             "stream_weights": [["f0", 8.0], ["spec", 1.0], ["nm", 1.0]],
             "checkpoint_every": 5, "keep_checkpoints": 2,
