@@ -41,6 +41,13 @@ def main(
             # classic friendly soak corpus
             jitter=float(os.environ.get("JITTER", "0")),
             speaker_f0=float(os.environ.get("SPK_F0", "0")),
+            # ENC_F0=1: write each utterance's base-f0 draw into the labels
+            # (CQS F0_Base) — the round-5 corpus-realism axis that removes
+            # the measured ~30 Hz label-unencoded F0 floor (BASELINE.md
+            # "attribution CLOSED"); F0 RMSE becomes model-limited
+            encode_f0=bool(int(os.environ.get("ENC_F0", "0"))),
+            noise_snr_db=float(os.environ.get("NOISE_SNR", "0")),
+            reverb_ms=float(os.environ.get("REVERB_MS", "0")),
         )
 
     cfg = Configuration(

@@ -104,6 +104,41 @@ def main(batch: int = 32):
             f"{frames/dt/1e3:8.1f} k frames/s "
             f"({frames/dt/(1000.0/voc.shift_ms):9.1f}x realtime)"
         )
+
+    # ---- synthesis artifact (features→waveform, round-5): batch-1 latency
+    # of the FULL default reconstruction (closed-loop) as exported by
+    # `cli export`. The DSP graph is CPU-routed under the tunneled runtime
+    # (BASELINE.md caveat), so this measures the CPU-serving latency; a
+    # non-tunneled TPU deployment runs the same artifact's tpu lowering.
+    from percivaltts_tpu.eval.export import ExportedSynthesizer, export_synthesis
+    from percivaltts_tpu.vocoders import get_vocoder
+
+    vv = get_vocoder(voc)
+    d = tempfile.mkdtemp(prefix="serve_syn_")
+    import dataclasses
+
+    write_export(
+        d, {T: b"placeholder"}, L, F, dataclasses.asdict(voc),
+        syn_artifacts=export_synthesis(vv, (T,), batch=1),
+        hop=voc.shift_samples,
+    )
+    syn = ExportedSynthesizer(d)
+    feats = np.zeros((T - 30, F), np.float32)
+    feats[:, 0] = np.log(140.0)
+    feats[:, 1 : 1 + 65] = rng.normal(size=(T - 30, 65)) * 0.5 - 4.0
+    feats[:, 1 + 65 :] = np.clip(rng.uniform(size=(T - 30, 33)), 0, 1)
+    syn(feats)  # compile
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        wav = syn(feats)
+    dt = (time.perf_counter() - t0) / reps
+    sec_audio = len(wav) / voc.fs
+    print(
+        f"synthesis artifact (closed_loop={voc.closed_loop}): "
+        f"{dt*1e3:7.1f} ms per {sec_audio:.2f}s utterance "
+        f"({sec_audio/dt:6.1f}x realtime)"
+    )
     return results
 
 
