@@ -115,8 +115,11 @@ def main(exp: str, K: int = 8, seed: int = 777, n_utts: int = 400):
     )
     todo = [(uid, seq, durs, f0b) for uid, seq, durs, f0b, _ in plans if uid in test_ids]
     assert {t[0] for t in todo} == test_ids, "corpus replay does not match the soak corpus (seed/n_utts/mode?)"
+    oracle_lab: dict = {}
+    f0_lo, f0_hi = (75.0, 285.0) if hard else (110.0, 220.0)
     for uid, seq, durs, f0b in todo:
         alts = []
+        alts_lab = []
         for k in range(K):
             rng = np.random.default_rng([4242, seed, int(uid[4:]), k])
             wav, _, _ = _synthesize_utterance(
@@ -125,29 +128,45 @@ def main(exp: str, K: int = 8, seed: int = 777, n_utts: int = 400):
             # disk-faithful int16 roundtrip (compose analyzes saved wavs)
             wav = (np.clip(wav, -1, 1) * 32767.0).astype(np.int16).astype(np.float32) / 32768.0
             alts.append(wav)
-        feats = voc.analyze_batch(alts)
-        oracle[uid] = np.mean(np.stack([np.asarray(f) for f in feats]), axis=0)
+            # LABEL-ONLY oracle arm: the default corpus does not encode
+            # f0_base in the labels, so the best label-informed predictor
+            # must also marginalize over the f0 prior — fresh f0 draw per
+            # alternate (pinned-speaker corpora have no such term). The
+            # plan-oracle − label-oracle gap is the f0-INFORMATION term of
+            # the spec stream, the part encode_f0 removes.
+            rng2 = np.random.default_rng([515151, seed, int(uid[4:]), k])
+            f0_draw = f0b if spk > 0 else float(rng2.uniform(f0_lo, f0_hi))
+            wav2, _, _ = _synthesize_utterance(
+                seq, durs, fs, f0_draw, rng2, hard=hard, jitter=jitter
+            )
+            wav2 = (np.clip(wav2, -1, 1) * 32767.0).astype(np.int16).astype(np.float32) / 32768.0
+            alts_lab.append(wav2)
+        feats = voc.analyze_batch(alts + alts_lab)
+        oracle[uid] = np.mean(np.stack([np.asarray(f) for f in feats[:K]]), axis=0)
         alt0[uid] = np.asarray(feats[0])
-        print_log(f"oracle {uid}: K={K} alternates analyzed")
+        oracle_lab[uid] = np.mean(np.stack([np.asarray(f) for f in feats[K:]]), axis=0)
+        print_log(f"oracle {uid}: K={K}×2 alternates analyzed")
 
     # ---- per-frame cepstra + masks, then the budget ----
     BANDS = (("d0_3", 0, 3), ("d4_9", 4, 9), ("d10", 10, 10**9))
     terms = {  # term -> per-utt (mean, nframes) lists keyed by mask name
         name: {m: [] for m in
                ("all", "voiced", "unvoiced", "d0_3", "d4_9", "d10")}
-        for name in ("model_ref", "oracle_ref", "model_oracle", "alt_ref", "floor_extrap")
+        for name in ("model_ref", "oracle_ref", "model_oracle", "alt_ref", "floor_extrap", "oracle_lab_ref")
     }
     stream_rows: dict = {}
     for i, uid in enumerate(test.ids):
         n = min(preds[i].shape[0], refs[i].shape[0], oracle[uid].shape[0])
         p, r, o, a1 = preds[i][:n], refs[i][:n], oracle[uid][:n], alt0[uid][:n]
-        ceps = voc.cepstra(np.stack([p, r, o, a1]))
-        cp, cr, co, ca = (np.asarray(c) for c in ceps)
+        ol = oracle_lab[uid][:n]
+        ceps = voc.cepstra(np.stack([p, r, o, a1, ol]))
+        cp, cr, co, ca, col = (np.asarray(c) for c in ceps)
         pf = {
             "model_ref": per_frame_mcd_np(cp, cr),
             "oracle_ref": per_frame_mcd_np(co, cr),
             "model_oracle": per_frame_mcd_np(cp, co),
             "alt_ref": per_frame_mcd_np(ca, cr),
+            "oracle_lab_ref": per_frame_mcd_np(col, cr),
         }
         # K→∞ extrapolation of the oracle floor: with per-frame
         # realization variance σ², E d(alt,ref)² = 2σ² and
@@ -207,7 +226,7 @@ def main(exp: str, K: int = 8, seed: int = 777, n_utts: int = 400):
     hdr = f"{'term':<14}" + "".join(f"{m:>10}" for m in ("all", "voiced", "unvoiced", "d0_3", "d4_9", "d10"))
     print_log(hdr)
     print_log(f"{'frame frac':<14}" + "".join(f"{frac[m]:>10.2f}" for m in ("all", "voiced", "unvoiced", "d0_3", "d4_9", "d10")))
-    for t in ("model_ref", "oracle_ref", "model_oracle", "alt_ref", "floor_extrap"):
+    for t in ("model_ref", "oracle_ref", "model_oracle", "alt_ref", "floor_extrap", "oracle_lab_ref"):
         print_log(f"{t:<14}" + "".join(
             f"{out['terms'][t][m]['mcd_db']:>10.2f}"
             for m in ("all", "voiced", "unvoiced", "d0_3", "d4_9", "d10")))
