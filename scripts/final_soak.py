@@ -79,7 +79,10 @@ def main(
             critic_norm=os.environ.get("CRITIC_NORM", "layer"),
         ),
         train=TrainConfig(
-            trainer="wgan",
+            # TRAINER=lse: matched LSE arm for the pred-budget attribution
+            # (same corpus/recipe/selection; isolates the WGAN dispersion
+            # premium from model capability vs the label-oracle floor)
+            trainer=os.environ.get("TRAINER", "wgan"),
             epochs=epochs,
             steps_per_epoch=50,
             lse_weight=0.25,
