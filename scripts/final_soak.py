@@ -70,8 +70,12 @@ def main(
         ),
         model=ModelConfig(
             generator="cnn_blstm",
-            hidden_size=256,
-            blstm_size=256,
+            # GEN_HIDDEN: capacity-attack knob for the pred-budget's
+            # exposed model term (round 5) — generator width only, critic
+            # fixed (widening the critic measured as a step-time loss,
+            # BASELINE.md critic_arch_probe row)
+            hidden_size=int(os.environ.get("GEN_HIDDEN", "256")),
+            blstm_size=int(os.environ.get("GEN_HIDDEN", "256")),
             cnn_blocks=3,
             critic_channels=32,
             critic_blocks=4,
