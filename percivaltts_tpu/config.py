@@ -393,6 +393,15 @@ class TrainConfig:
     # the measured-rejection record.
     critic_fused_pass: bool = False
     lse_weight: float = 0.25  # LSE mixing weight in the generator loss
+    # Transition-weighted LSE (round-5 probe of the budget's near-boundary
+    # term, BASELINE.md "Prediction-path error budget"): the LSE term's
+    # per-frame weight follows the TARGET's local spectral flux (max-pooled
+    # ±boundary_radius frames, normalized to mean 1 so the loss scale and
+    # the LSE/adversarial mixing ratio are unchanged;
+    # training/losses.py::transition_weights). 0 = off (reference-faithful
+    # plain masked MSE). Applies to both trainers' LSE terms.
+    boundary_weight: float = 0.0
+    boundary_radius: int = 3
     # exponential moving average of the GENERATOR weights (0 = off).
     # Standard production-GAN practice (absent in the reference): after
     # each generator update, ema ← d·ema + (1−d)·params, carried in the

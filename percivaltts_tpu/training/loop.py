@@ -226,7 +226,11 @@ class Trainer:
 
             base = _maybe_norm(
                 functools.partial(
-                    lse_step, dim_weights=dim_w, ema_decay=cfg.train.ema_decay
+                    lse_step,
+                    dim_weights=dim_w,
+                    ema_decay=cfg.train.ema_decay,
+                    boundary_weight=cfg.train.boundary_weight,
+                    boundary_radius=cfg.train.boundary_radius,
                 )
             )
             if self.dcorpus is not None:

@@ -24,11 +24,19 @@ def lse_step(
     batch: Dict[str, jax.Array],
     dim_weights=None,
     ema_decay: float = 0.0,
+    boundary_weight: float = 0.0,
+    boundary_radius: int = 3,
 ) -> Tuple[GANState, Dict[str, jax.Array]]:
     """One masked-MSE generator update (``dim_weights``: per-dimension loss
     weights from TrainConfig.stream_weights; ``ema_decay`` > 0 also advances
-    the generator-EMA copy, TrainConfig.ema_decay)."""
+    the generator-EMA copy, TrainConfig.ema_decay; ``boundary_weight`` > 0
+    enables the transition-weighted LSE, TrainConfig.boundary_weight)."""
     lab, cmp, mask = batch["lab"], batch["cmp"], batch["mask"]
+    frame_w = None
+    if boundary_weight > 0.0:
+        from percivaltts_tpu.training.losses import transition_weights
+
+        frame_w = transition_weights(cmp, mask, boundary_weight, boundary_radius)
     # per-step dropout rng (ModelConfig.dropout_rate; unused modules ignore
     # it): fold the state key by the optimizer step — deterministic, no key
     # threading through the state
@@ -36,7 +44,7 @@ def lse_step(
 
     def loss_fn(params):
         pred = state.gen.apply_fn(params, lab, train=True, rngs={"dropout": dkey})
-        return masked_mse(pred, cmp, mask, dim_weights)
+        return masked_mse(pred, cmp, mask, dim_weights, frame_weights=frame_w)
 
     loss, grads = jax.value_and_grad(loss_fn)(state.gen.params)
     gen = state.gen.apply_gradients(grads=grads)

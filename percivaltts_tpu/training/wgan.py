@@ -93,7 +93,16 @@ def make_wgan_step(
             gen_params, lab, train=True, rngs={"dropout": dkey}
         )
         adv = -jnp.mean(state.critic.apply_fn(critic_params, fake, lab, mask))
-        lse = masked_mse(fake, real, mask, dim_weights)
+        frame_w = None
+        if cfg.boundary_weight > 0.0:
+            # transition-weighted LSE term (TrainConfig.boundary_weight);
+            # the adversarial term is untouched
+            from percivaltts_tpu.training.losses import transition_weights
+
+            frame_w = transition_weights(
+                real, mask, cfg.boundary_weight, cfg.boundary_radius
+            )
+        lse = masked_mse(fake, real, mask, dim_weights, frame_weights=frame_w)
         return adv + lse_weight * lse, (adv, lse)
 
     def step(

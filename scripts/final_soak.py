@@ -112,6 +112,9 @@ def main(
             # 10.1/16.9/24.4 ms, BASELINE.md "In-schedule critic update
             # cost" row — 24.4/16.9 = 1.44x)
             n_critic=int(os.environ.get("N_CRITIC", "5")),
+            # BOUNDARY_W: transition-weighted LSE probe of the budget's
+            # near-boundary term (TrainConfig.boundary_weight)
+            boundary_weight=float(os.environ.get("BOUNDARY_W", "0")),
             lr_critic=float(os.environ.get("LR_CRITIC", "1e-4")),
             seed=321,
         ),

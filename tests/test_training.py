@@ -471,3 +471,65 @@ def test_best_metric_mcd_gv_composite(tmp_path):
     # the guard: composite selection without measures must refuse
     with pytest.raises(ValueError, match="mcd_gv"):
         Trainer(_cfg(workdir=str(tmp_path / "x"), best_metric="mcd_gv"), ds, ds)
+
+
+def test_transition_weights_semantics():
+    """transition_weights (TrainConfig.boundary_weight): mean 1 over valid
+    frames, peak covers the ±radius neighborhood of a target jump, padding
+    gets weight 0, and boundary_weight=0 leaves both trainers' losses
+    bit-identical to the unweighted path."""
+    import jax.numpy as jnp
+
+    from percivaltts_tpu.training.losses import masked_mse, transition_weights
+
+    B, T, D = 2, 32, 6
+    target = np.zeros((B, T, D), np.float32)
+    target[:, 16:, :] = 4.0  # one hard transition at t=16
+    mask = np.ones((B, T), np.float32)
+    mask[1, 24:] = 0.0  # padded tail
+    w = np.asarray(transition_weights(jnp.asarray(target), jnp.asarray(mask), 2.0, 3))
+    valid = mask > 0
+    assert abs(w[valid].mean() - 1.0) < 1e-5  # loss scale preserved
+    assert (w[:, :24][mask[:, :24] > 0] >= 0).all()
+    assert (w[1, 24:] == 0).all()  # padding zeroed
+    # the jump frame and its ±3 neighborhood carry the (equal) max weight
+    assert w[0, 16] == w[0].max() and w[0, 13] == w[0, 16] and w[0, 19] == w[0, 16]
+    assert w[0, 16] > 5 * w[0, 5]  # steady frames strongly downweighted
+    # gain=0 == exact no-op through masked_mse
+    pred = np.random.default_rng(0).normal(size=(B, T, D)).astype(np.float32)
+    l0 = masked_mse(jnp.asarray(pred), jnp.asarray(target), jnp.asarray(mask))
+    w0 = transition_weights(jnp.asarray(target), jnp.asarray(mask), 0.0, 3)
+    l1 = masked_mse(
+        jnp.asarray(pred), jnp.asarray(target), jnp.asarray(mask), frame_weights=w0
+    )
+    assert float(l0) == float(l1)
+
+
+def test_boundary_weight_changes_wgan_lse_term_only():
+    """boundary_weight > 0 moves the WGAN step's LSE metric but not the
+    adversarial/critic metrics' semantics (same fakes, same critic path)."""
+    from percivaltts_tpu.training.state import make_gan_state
+    from percivaltts_tpu.training.wgan import make_wgan_step
+
+    L, B, T = LDIM, 2, 16
+    rng = np.random.default_rng(3)
+
+    def batch(lead=()):
+        return {
+            "lab": rng.normal(size=lead + (B, T, L)).astype(np.float32),
+            "cmp": rng.normal(size=lead + (B, T, VOC.feature_size)).astype(np.float32),
+            "mask": np.ones(lead + (B, T), np.float32),
+            "lengths": np.full(lead + (B,), T, np.int32),
+        }
+
+    cb, gb = batch((2,)), batch()
+    outs = {}
+    for bw in (0.0, 4.0):
+        cfg = _cfg(trainer="wgan", boundary_weight=bw)
+        state = make_gan_state(cfg, L)
+        step = jax.jit(make_wgan_step(cfg.train))
+        _, m = step(state, cb, gb)
+        outs[bw] = {k: float(v) for k, v in m.items()}
+    assert outs[0.0]["lse"] != outs[4.0]["lse"]
+    # identical init + identical critic batches -> critic-side metrics match
+    np.testing.assert_allclose(outs[0.0]["w_dist"], outs[4.0]["w_dist"], rtol=1e-5)
